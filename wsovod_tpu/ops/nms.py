@@ -1,0 +1,102 @@
+"""Masked, static-shape NMS for TPU.
+
+Replaces torchvision/detectron2 ``batched_nms`` (used throughout the
+reference: ``proposal_utils.py:126``, ``fast_rcnn_open_vocabulary.py:190``).
+Dynamic keep-lists do not exist under XLA; instead NMS returns a fixed-size
+boolean keep mask over the (padded) input boxes. Class-aware NMS uses the
+standard coordinate-offset trick so one pass handles all classes.
+
+The greedy scan is a ``lax.fori_loop`` over score-sorted boxes against a
+precomputed IoU matrix — O(N^2) IoU on the MXU-friendly dense path plus an
+O(N) sequential mask update, which XLA keeps on-device with no host sync.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import pairwise_iou
+
+
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Greedy NMS. Returns a bool keep mask aligned with the input order.
+
+    Args:
+      boxes: [N, 4] XYXY.
+      scores: [N].
+      valid: optional [N] bool; invalid rows are never kept and never suppress.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores)  # descending
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    iou = pairwise_iou(sboxes, sboxes)
+    suppress_pair = iou > iou_threshold  # [N, N]
+
+    def body(i, keep):
+        # If box i survives, suppress all later boxes it overlaps.
+        row = suppress_pair[i]
+        later = jnp.arange(n) > i
+        kill = keep[i] & row & later
+        return keep & ~kill
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
+    # scatter back to input order
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+    return keep
+
+
+def batched_nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Class/level-aware NMS via the coordinate-offset trick.
+
+    Boxes with different ``idxs`` (class id or level id) never suppress each
+    other. Matches d2 ``batched_nms`` semantics.
+    """
+    if boxes.shape[0] == 0:
+        return jnp.zeros((0,), dtype=bool)
+    # Offset each category into a disjoint coordinate range.
+    max_coord = jnp.max(jnp.where(valid[:, None] if valid is not None else True, boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, iou_threshold, valid=valid)
+
+
+def nms_topk(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    k: int,
+    valid: jnp.ndarray | None = None,
+    idxs: jnp.ndarray | None = None,
+):
+    """NMS then keep top-k survivors by score.
+
+    Returns ``(indices [k], keep_valid [k])`` — indices into the input arrays,
+    padded arbitrarily where ``keep_valid`` is False.
+    """
+    if idxs is None:
+        keep = nms_mask(boxes, scores, iou_threshold, valid=valid)
+    else:
+        keep = batched_nms_mask(boxes, scores, idxs, iou_threshold, valid=valid)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(keep, scores, neg_inf)
+    topv, topi = jax.lax.top_k(s, k)
+    return topi, topv > neg_inf
