@@ -1,0 +1,99 @@
+"""Benchmark: WSR-50-DC5 + MIL heads inference throughput on one chip.
+
+Measures end-to-end jitted inference (backbone -> RPN -> SAM-proposal fusion
+-> data-aware head -> DAN -> K refineries -> on-device NMS) at the
+reference's test resolution (shortest side 688) with the full 4000-proposal
+budget, and prints ONE JSON line.
+
+``vs_baseline`` is measured against the BASELINE.json north-star: >= 5x an
+A100 running the reference (torch) pipeline. The repo publishes no A100
+number (BASELINE.md), so we use a conservative estimated reference of
+12 images/sec/A100 for WSR-50-DC5 at 688px with 4000 ROIs -> target 60
+images/sec/chip; vs_baseline = measured / 60.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+TARGET_IMG_PER_SEC = 60.0  # 5x estimated A100 reference throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wsovod_tpu.config import get_cfg
+    from wsovod_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.3
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 1e-5
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 2048
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1024
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE = True
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    H, W = 688, 1056  # typical COCO val shape at shortest-side-688
+    S = 4000  # SAM proposal budget (PRECOMPUTED_PROPOSAL_TOPK_TEST)
+
+    rng = np.random.RandomState(0)
+    boxes = rng.uniform(0, W * 0.6, (B, S, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(8, 300, (B, S, 2))], -1)
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray(np.array([[H, W]] * B, np.int32)),
+        "sam_boxes": jnp.asarray(boxes.astype(np.float32)),
+        "sam_scores": jnp.asarray(rng.uniform(0.3, 1, (B, S)).astype(np.float32)),
+        "sam_valid": jnp.ones((B, S), bool),
+    }
+    emb = jnp.asarray(rng.randn(80, 512).astype(np.float32))
+
+    model = build_model(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch, train=False, embeddings=emb
+    )
+
+    @jax.jit
+    def infer(params, batch):
+        det, _, _ = model.apply(params, batch, train=False, embeddings=emb)
+        return det.boxes, det.scores, det.classes, det.valid
+
+    # warmup / compile
+    out = infer(params, batch)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip WSR-50-DC5 inference (688px, 4000 proposals)",
+                "value": round(img_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

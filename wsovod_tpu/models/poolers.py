@@ -1,0 +1,177 @@
+"""ROI feature pooler (d2 ``ROIPooler`` + WSOVOD extensions).
+
+Reference ``wsovod/modeling/poolers.py:24-337``. Supports:
+
+* single- and multi-level pooling with canonical level assignment by box size
+  (or an explicit ``valid_range`` per level);
+* MRRP branch routing: with branch-concat features ``[n_br*B, H, W, C]``, a
+  proposal's ``level_ids // 1000`` picks the branch whose feature copy it
+  pools from (reference ``poolers.py:111-116,245-258``);
+* ``ROILoopPool``: triple ROI/frame/context pooling — output rows are stacked
+  3x along a leading axis, the contract the ROI heads' chunk-3 logic depends
+  on (reference ``poolers.py:306-336``).
+
+Everything is batched: boxes ``[B, P, 4]`` against features ``[B(*br), ...]``
+with all-pad ROIs pooling to zeros. On TPU, pooling runs through the ops in
+``wsovod_tpu.ops`` (jnp reference now; Pallas fast path plugs in underneath
+without changing this interface).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.roi_pool import roi_align, roi_loop_pool, roi_pool
+from ..structures.boxes import box_area
+
+
+def assign_boxes_to_levels(
+    boxes: jnp.ndarray,  # [..., 4]
+    min_level: int,
+    max_level: int,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """FPN canonical level assignment (d2 semantics)."""
+    sqrt_area = jnp.sqrt(jnp.maximum(box_area(boxes), 1e-8))
+    lvl = jnp.floor(canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8))
+    return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+
+
+class ROIPooler:
+    def __init__(
+        self,
+        output_size: int,
+        scales: Sequence[float],
+        sampling_ratio: int = 0,
+        pooler_type: str = "ROIPool",
+        mrrp_on: bool = False,
+        mrrp_num_branch: int = 1,
+        canonical_box_size: float = 224.0,
+        canonical_level: int = 4,
+    ):
+        self.output_size = output_size
+        self.scales = list(scales)
+        self.sampling_ratio = sampling_ratio if sampling_ratio > 0 else 2
+        self.pooler_type = pooler_type
+        self.mrrp_on = mrrp_on
+        self.mrrp_num_branch = mrrp_num_branch
+        self.canonical_box_size = canonical_box_size
+        self.canonical_level = canonical_level
+
+    @property
+    def triple(self) -> bool:
+        return self.pooler_type == "ROILoopPool"
+
+    def _pool_one_level(self, feat, boxes, scale):
+        """feat [H, W, C], boxes [P, 4] -> [P, S, S, C] or [3, P, S, S, C]."""
+        if self.pooler_type in ("ROIPool",):
+            return roi_pool(feat, boxes, self.output_size, scale)
+        if self.pooler_type == "ROILoopPool":
+            return roi_loop_pool(feat, boxes, self.output_size, scale)
+        if self.pooler_type in ("ROIAlign", "ROIAlignV2"):
+            return roi_align(
+                feat,
+                boxes,
+                self.output_size,
+                scale,
+                sampling_ratio=self.sampling_ratio,
+                aligned=self.pooler_type == "ROIAlignV2",
+            )
+        raise ValueError(f"Unsupported pooler type {self.pooler_type}")
+
+    def __call__(
+        self,
+        features: List[jnp.ndarray],  # per level [B(*br), H, W, C]
+        boxes: jnp.ndarray,  # [B, P, 4]
+        valid: jnp.ndarray,  # [B, P]
+        level_ids: Optional[jnp.ndarray] = None,  # [B, P] (MRRP branch routing)
+    ) -> jnp.ndarray:
+        """Returns [B, P, S, S, C] (or [3, B, P, S, S, C] for ROILoopPool)."""
+        n_levels = len(features)
+        b = boxes.shape[0]
+
+        boxes = jnp.where(valid[..., None], boxes, 0.0)
+
+        if self.mrrp_on and features[0].shape[0] != b:
+            n_br = features[0].shape[0] // b
+            # branch-concat layout [n_br*B, H, W, C] -> route ROIs by branch id
+            assert n_levels == 1, "MRRP pooling implemented for single level"
+            feat = features[0]
+            branch = (
+                (level_ids // 1000) % n_br
+                if level_ids is not None
+                else jnp.zeros(boxes.shape[:2], jnp.int32)
+            )
+
+            def per_image(img_idx):
+                def pool_branch(br):
+                    return self._pool_one_level(
+                        feat[br * b + img_idx], boxes[img_idx], self.scales[0]
+                    )
+
+                pooled_all = jnp.stack([pool_branch(br) for br in range(n_br)])
+                # select each ROI's branch: pooled_all [n_br, (3,) P, S, S, C]
+                sel = branch[img_idx]  # [P]
+                if self.triple:
+                    return jnp.take_along_axis(
+                        pooled_all,
+                        sel[None, None, :, None, None, None],
+                        axis=0,
+                    )[0]
+                return jnp.take_along_axis(
+                    pooled_all, sel[None, :, None, None, None], axis=0
+                )[0]
+
+            pooled = [per_image(i) for i in range(b)]
+            out = jnp.stack(pooled, axis=1 if self.triple else 0)
+            return self._mask_invalid(out, valid)
+
+        if n_levels == 1:
+            pool = lambda f, bx: self._pool_one_level(f, bx, self.scales[0])
+            out = jax.vmap(pool, in_axes=(0, 0), out_axes=1 if self.triple else 0)(
+                features[0], boxes
+            )
+            return self._mask_invalid(out, valid)
+
+        # multi-level: pool every level, select by assigned level
+        lvl = assign_boxes_to_levels(
+            boxes,
+            min_level=int(-jnp.log2(self.scales[0])),
+            max_level=int(-jnp.log2(self.scales[-1])),
+            canonical_box_size=self.canonical_box_size,
+            canonical_level=self.canonical_level,
+        )
+        pooled_levels = []
+        for f, s in zip(features, self.scales):
+            pool = lambda ff, bx: self._pool_one_level(ff, bx, s)
+            pooled_levels.append(
+                jax.vmap(pool, in_axes=(0, 0), out_axes=1 if self.triple else 0)(f, boxes)
+            )
+        stacked = jnp.stack(pooled_levels)  # [L, (3,) B, P, S, S, C]
+        if self.triple:
+            sel = lvl[None, None, :, :, None, None, None]
+            out = jnp.take_along_axis(stacked, sel, axis=0)[0]
+        else:
+            sel = lvl[None, :, :, None, None, None]
+            out = jnp.take_along_axis(stacked, sel, axis=0)[0]
+        return self._mask_invalid(out, valid)
+
+    def _mask_invalid(self, out: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        if self.triple:
+            return out * valid[None, :, :, None, None, None].astype(out.dtype)
+        return out * valid[:, :, None, None, None].astype(out.dtype)
+
+
+def build_pooler(cfg, strides: Sequence[int]) -> ROIPooler:
+    return ROIPooler(
+        output_size=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        scales=[1.0 / s for s in strides],
+        sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
+        mrrp_on=cfg.MODEL.MRRP.MRRP_ON,
+        mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
+    )

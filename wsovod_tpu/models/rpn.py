@@ -274,6 +274,13 @@ class WSOVODRPN_V2(nn.Module):
         }
 
 
+def _nest(v):
+    """d2 `_broadcast_params` convention: a flat list means one shared entry."""
+    if len(v) and not isinstance(v[0], (list, tuple)):
+        return (tuple(v),)
+    return tuple(tuple(x) for x in v)
+
+
 def build_proposal_generator(cfg, strides: Sequence[int]) -> WSOVODRPN_V2:
     """Config-driven builder for the shipped proposal generators."""
     name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
@@ -284,10 +291,8 @@ def build_proposal_generator(cfg, strides: Sequence[int]) -> WSOVODRPN_V2:
     return WSOVODRPN_V2(
         in_features=tuple(rpn.IN_FEATURES),
         strides=tuple(strides),
-        anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
-        anchor_aspect_ratios=tuple(
-            tuple(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS
-        ),
+        anchor_sizes=_nest(cfg.MODEL.ANCHOR_GENERATOR.SIZES),
+        anchor_aspect_ratios=_nest(cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS),
         anchor_offset=cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
         nms_thresh=rpn.NMS_THRESH,
         min_box_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
