@@ -126,7 +126,8 @@ def test_inference_forward(model_and_params):
     assert det.boxes.shape[0] == b
     assert det.boxes.shape[2] == 4
     assert all_scores.shape[-1] == 6  # C+1
-    assert np.isfinite(np.asarray(det.scores)).all()
+    v = np.asarray(det.valid)
+    assert np.isfinite(np.asarray(det.scores)[v]).all()
 
 
 def test_inference_classifier_swap(model_and_params):

@@ -1,0 +1,122 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_csc_scores_focused_box_higher():
+    from wsovod_tpu.ops.csc import csc
+
+    # CPG heatmap with a hot square at [10:20, 10:20]
+    cpg = np.zeros((1, 32, 32), np.float32)
+    cpg[0, 10:20, 10:20] = 1.0
+    labels = jnp.asarray([1.0])
+    preds = jnp.asarray([0.9])
+    rois = jnp.asarray(
+        np.array(
+            [
+                [10, 10, 20, 20],  # tight box -> high contrast
+                [0, 0, 31, 31],  # whole image -> low contrast
+                [22, 22, 30, 30],  # off-object
+            ],
+            np.float32,
+        )
+    )
+    w = np.asarray(csc(jnp.asarray(cpg), labels, preds, rois))
+    assert w.shape == (3, 1)
+    assert w[0, 0] > w[1, 0]
+    assert w[0, 0] > w[2, 0]
+
+
+def test_csc_unlabeled_class_is_one():
+    from wsovod_tpu.ops.csc import csc
+
+    cpg = np.random.RandomState(0).rand(2, 16, 16).astype(np.float32)
+    labels = jnp.asarray([1.0, 0.0])
+    preds = jnp.asarray([0.5, 0.5])
+    rois = jnp.asarray(np.array([[2, 2, 10, 10]], np.float32))
+    w = np.asarray(csc(jnp.asarray(cpg), labels, preds, rois))
+    np.testing.assert_allclose(w[:, 1], 1.0)
+
+
+def test_csc_constraint_grad():
+    from wsovod_tpu.ops.csc import csc_constraint
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4).astype(np.float32))
+    w = jnp.asarray(np.array([0.5, -0.5, 1.0, 0.0], np.float32))
+    y = csc_constraint(x, w, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) * np.array([0.5, 0, 1, 0]))
+    g = jax.grad(lambda x_: csc_constraint(x_, w, True).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), [0.5, 0, 1, 0])
+
+
+def test_integral_image():
+    from wsovod_tpu.ops.csc import integral_image
+
+    x = jnp.ones((4, 4))
+    ii = np.asarray(integral_image(x))
+    assert ii[-1, -1] == 16
+    assert ii[0, 0] == 1
+
+
+def test_swin_shapes():
+    from wsovod_tpu.models.backbones.swin import SwinTransformer
+
+    m = SwinTransformer(embed_dim=32, depths=(1, 1), num_heads=(2, 4),
+                        window_size=4, out_features=("stage2", "stage3"))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = m.init(KEY, x)
+    out = m.apply(params, x)
+    assert out["stage2"].shape == (1, 16, 16, 32)
+    assert out["stage3"].shape == (1, 8, 8, 64)
+    assert m.output_strides() == {"stage2": 4, "stage3": 8}
+
+
+def test_tta_inverse_transform():
+    from wsovod_tpu.models.tta import inverse_transform_boxes
+
+    boxes = np.array([[10, 20, 30, 40]], np.float32)
+    inv = {"flip": True, "flip_width": 100, "scale_x": 2.0, "scale_y": 0.5,
+           "orig_size": (100, 300)}
+    out = inverse_transform_boxes(boxes, inv)
+    # flip: x1 = 100-30=70, x2 = 100-10=90; then scale
+    np.testing.assert_allclose(out, [[140, 10, 180, 20]])
+
+
+def test_tta_avg_merge():
+    from wsovod_tpu.models.tta import tta_avg_merge
+
+    scores = [np.array([[0.9, 0.1], [0.2, 0.8]], np.float32)] * 2
+    boxes = [np.array([[0, 0, 10, 10], [20, 20, 40, 40]], np.float32)] * 2
+    invs = [{"flip": False, "flip_width": 0, "scale_x": 1.0, "scale_y": 1.0,
+             "orig_size": (100, 100)}] * 2
+    det = tta_avg_merge(scores, boxes, invs, np.ones(2, bool), 0.05, 0.5, 10)
+    v = np.asarray(det.valid[0])
+    assert v.sum() == 2  # one class column (C=1), both boxes above threshold
+    kept = sorted(float(s) for s in np.asarray(det.scores[0])[v])
+    np.testing.assert_allclose(kept, [0.2, 0.9], atol=1e-5)
+
+
+def test_mixed_roi_heads_families():
+    from wsovod_tpu.models.roi_heads_mixed import dataset_family
+
+    assert dataset_family("voc_2007_trainval") == "voc"
+    assert dataset_family("coco_2017_train") == "coco"
+    assert dataset_family("lvis_v1_train") == "lvis"
+
+
+def test_multi_dataset_sampler():
+    from wsovod_tpu.data.loader_multi_dataset import MultiDatasetTrainingSampler
+
+    s = MultiDatasetTrainingSampler(
+        sizes=[4, 8], ratios=[1.0, 1.0],
+        per_image_factors=[np.ones(4), np.ones(8)], seed=0,
+    )
+    it = iter(s)
+    pairs = [next(it) for _ in range(100)]
+    d0 = sum(1 for d, _ in pairs if d == 0)
+    d1 = sum(1 for d, _ in pairs if d == 1)
+    # dataset 0 (smaller) is upweighted 2x -> roughly balanced counts
+    assert abs(d0 - d1) < 30

@@ -127,3 +127,99 @@ def test_WSL(cfg, model, params, embeddings=None, classifier=None) -> Dict[str, 
         )
         logger.info("%s: %s", name, results[name])
     return results
+
+
+def test_with_TTA_WSL(cfg, model, params, embeddings=None, classifier=None):
+    """TTA evaluation (reference ``engine/trainer.py:130-170``): AVG merge for
+    precomputed-proposal models, UNION for RPN models, 8 scales x flip."""
+    from ..data.catalog import DatasetCatalog
+    from ..data.dataset_mapper import default_image_buckets, read_image_bgr
+    from ..data.loader import get_detection_dataset_dicts
+    from ..data.proposals import load_proposals_into_dataset
+    from ..models.tta import (
+        make_tta_inputs,
+        inverse_transform_boxes,
+        tta_avg_merge,
+        tta_union_merge,
+    )
+
+    mode = (
+        "avg"
+        if cfg.MODEL.PROPOSAL_GENERATOR.NAME == "PrecomputedProposals"
+        else "union"
+    )
+    min_sizes = tuple(cfg.TEST.AUG.MIN_SIZES)
+    max_size = cfg.TEST.AUG.MAX_SIZE
+    flip = cfg.TEST.AUG.FLIP
+    buckets = default_image_buckets(max(min_sizes), max_size)
+
+    @jax.jit
+    def forward(params, batch):
+        det, all_scores, all_boxes = model.apply(
+            params, batch, train=False, embeddings=embeddings, classifier=classifier
+        )
+        return det, all_scores, all_boxes
+
+    results = {}
+    names = list(cfg.DATASETS.TEST)
+    for di, name in enumerate(names):
+        evaluator = build_evaluator(cfg, name, cfg.OUTPUT_DIR)
+        pfs = list(cfg.DATASETS.PROPOSAL_FILES_TEST)
+        dicts = get_detection_dataset_dicts([name], filter_empty=False)
+        if cfg.MODEL.LOAD_PROPOSALS and di < len(pfs) and pfs[di]:
+            dicts = load_proposals_into_dataset(dicts, pfs[di])
+        register_gt_with_evaluator(dicts, evaluator)
+
+        for rec in dicts:
+            image = read_image_bgr(rec["file_name"])
+            pb = np.asarray(rec.get("proposal_boxes", np.zeros((0, 4))), np.float32)
+            ps = np.asarray(
+                rec.get("proposal_objectness_logits", np.zeros((0,))), np.float32
+            )
+            topk = cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST
+            pb, ps = pb[:topk], ps[:topk]
+            pv = np.ones((len(pb),), bool)
+            inputs = make_tta_inputs(
+                image, pb, ps, pv, min_sizes, max_size, flip, buckets,
+                cfg.TPU.PROPOSAL_PAD,
+            )
+            invs = [b.pop("inv") for b in inputs]
+            if mode == "avg":
+                scores_l, boxes_l = [], []
+                for b in inputs:
+                    device_batch = {k: jnp.asarray(v) for k, v in b.items()}
+                    _, s, bx = forward(params, device_batch)
+                    scores_l.append(np.asarray(s[0]))
+                    boxes_l.append(np.asarray(bx[0]))
+                valid = inputs[0]["sam_valid"][0]
+                det = tta_avg_merge(
+                    scores_l, boxes_l, invs, valid,
+                    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                    cfg.TEST.DETECTIONS_PER_IMAGE,
+                )
+                v = np.asarray(det.valid[0])
+                evaluator.process(
+                    rec["image_id"],
+                    np.asarray(det.boxes[0])[v],
+                    np.asarray(det.scores[0])[v],
+                    np.asarray(det.classes[0])[v],
+                )
+            else:
+                db, ds, dc = [], [], []
+                for b in inputs:
+                    device_batch = {k: jnp.asarray(v) for k, v in b.items()}
+                    det, _, _ = forward(params, device_batch)
+                    v = np.asarray(det.valid[0])
+                    db.append(np.asarray(det.boxes[0])[v])
+                    ds.append(np.asarray(det.scores[0])[v])
+                    dc.append(np.asarray(det.classes[0])[v])
+                boxes, scores, classes = tta_union_merge(
+                    db, ds, dc, invs,
+                    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                    cfg.TEST.DETECTIONS_PER_IMAGE,
+                )
+                evaluator.process(rec["image_id"], boxes, scores, classes)
+        results[name] = evaluator.evaluate()
+        logger.info("TTA %s: %s", name, results[name])
+    return results

@@ -171,6 +171,72 @@ class GeneralizedRCNN_WSOVOD(nn.Module):
         return detections, all_scores, all_boxes
 
 
+class GeneralizedRCNN_WSOVOD_MixedDatasets(GeneralizedRCNN_WSOVOD):
+    """Mixed-dataset meta-arch (reference
+    ``wsovod/modeling/meta_arch/rcnn_wsovod_mixed_datasets.py:28-367``):
+    homogeneous per-dataset batches select the per-dataset classifier and the
+    per-dataset mining head via a STATIC ``source_id`` (one compiled program
+    per dataset, matching each dataset's class-count shapes)."""
+
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        train: bool = False,
+        iteration: Optional[jnp.ndarray] = None,
+        rng: Optional[jax.Array] = None,
+        embeddings: Optional[jnp.ndarray] = None,  # this dataset's C_i x D matrix
+        classifier: Optional[jnp.ndarray] = None,
+        append_background: bool = True,
+        source_id: int = 0,
+    ):
+        images = self._normalize(batch["images"])
+        features = self.backbone(images, train=train)
+        if rng is not None:
+            rng, rng_sam, rng_roi = jax.random.split(rng, 3)
+        else:
+            rng_sam = rng_roi = None
+        proposals, rpn_aux = self._proposals(features, batch, train, iteration, rng_sam)
+
+        daf = None
+        if self.data_aware_head is not None:
+            feat = features[self.in_feature]
+            daf = self.data_aware_head(feat)
+
+        if train:
+            out = self.roi_heads(
+                features,
+                proposals,
+                batch["gt_classes"],
+                batch["gt_valid"],
+                source_id=source_id,
+                data_aware_features=daf,
+                classifier=embeddings,
+                append_background=append_background,
+                rng=rng_roi,
+            )
+            losses = dict(out.losses)
+            if self.proposal_generator is not None and out.proposal_targets is not None:
+                rng, rng_rpn = (
+                    jax.random.split(rng) if rng is not None else (None, jax.random.PRNGKey(0))
+                )
+                pt = out.proposal_targets
+                losses.update(
+                    self.proposal_generator.losses(rpn_aux, pt.boxes, pt.valid, rng_rpn)
+                )
+            return losses
+
+        detections, all_scores, all_boxes = self.roi_heads.inference(
+            features,
+            proposals,
+            batch["image_sizes"],
+            data_aware_features=daf,
+            classifier=classifier,
+            embeddings=embeddings,
+            append_background=append_background,
+        )
+        return detections, all_scores, all_boxes
+
+
 def postprocess_detections(
     det: Detections, image_sizes, output_sizes
 ) -> Detections:
@@ -208,13 +274,20 @@ def build_model(cfg):
     from .poolers import build_pooler
 
     pooler = build_pooler(cfg, strides)
-    roi_heads = build_roi_heads(cfg, pooler)
+    mixed = cfg.MODEL.META_ARCHITECTURE == "GeneralizedRCNN_WSOVOD_MixedDatasets"
+    if mixed:
+        from .roi_heads_mixed import build_mixed_roi_heads
+
+        roi_heads = build_mixed_roi_heads(cfg, pooler)
+    else:
+        roi_heads = build_roi_heads(cfg, pooler)
     data_aware = (
         build_data_aware_head(cfg)
         if cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE
         else None
     )
-    return GeneralizedRCNN_WSOVOD(
+    arch = GeneralizedRCNN_WSOVOD_MixedDatasets if mixed else GeneralizedRCNN_WSOVOD
+    return arch(
         backbone=backbone,
         proposal_generator=proposal_generator,
         roi_heads=roi_heads,

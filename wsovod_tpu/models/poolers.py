@@ -66,11 +66,28 @@ class ROIPooler:
     def triple(self) -> bool:
         return self.pooler_type == "ROILoopPool"
 
+    @staticmethod
+    def _on_tpu() -> bool:
+        import jax
+
+        try:
+            return jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            return False
+
     def _pool_one_level(self, feat, boxes, scale):
         """feat [H, W, C], boxes [P, 4] -> [P, S, S, C] or [3, P, S, S, C]."""
         if self.pooler_type in ("ROIPool",):
+            if self._on_tpu() and feat.shape[-1] % 128 == 0:
+                from ..ops.pallas.roi_pool_kernel import roi_pool_pallas
+
+                return roi_pool_pallas(feat, boxes, self.output_size, scale)
             return roi_pool(feat, boxes, self.output_size, scale)
         if self.pooler_type == "ROILoopPool":
+            if self._on_tpu() and feat.shape[-1] % 128 == 0:
+                from ..ops.pallas.roi_pool_kernel import roi_loop_pool_pallas
+
+                return roi_loop_pool_pallas(feat, boxes, self.output_size, scale)
             return roi_loop_pool(feat, boxes, self.output_size, scale)
         if self.pooler_type in ("ROIAlign", "ROIAlignV2"):
             return roi_align(
@@ -132,9 +149,14 @@ class ROIPooler:
 
         if n_levels == 1:
             pool = lambda f, bx: self._pool_one_level(f, bx, self.scales[0])
-            out = jax.vmap(pool, in_axes=(0, 0), out_axes=1 if self.triple else 0)(
-                features[0], boxes
-            )
+            if self._on_tpu() and self.pooler_type in ("ROIPool", "ROILoopPool"):
+                # pallas_call + scalar prefetch: loop the (static) batch dim
+                pooled = [pool(features[0][i], boxes[i]) for i in range(b)]
+                out = jnp.stack(pooled, axis=1 if self.triple else 0)
+            else:
+                out = jax.vmap(pool, in_axes=(0, 0), out_axes=1 if self.triple else 0)(
+                    features[0], boxes
+                )
             return self._mask_invalid(out, valid)
 
         # multi-level: pool every level, select by assigned level

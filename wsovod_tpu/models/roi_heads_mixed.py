@@ -1,0 +1,162 @@
+"""WSOVODMixedDatasetsROIHeads — multi-dataset MIL heads.
+
+Reference ``wsovod/modeling/roi_heads/roi_heads.py:1860-3324``: one
+object-mining head per dataset *family* ('voc'/'coco'/'lvis' keys dedup,
+:2021-2040), per-dataset ``num_classes``; the K refinement heads are shared
+across datasets (their open-vocabulary classifier takes the per-dataset CLIP
+text matrix at call time); refinement losses take the per-dataset class count
+explicitly (:2286).
+
+Batches are homogeneous in ``dataset_id`` (the multi-dataset loader
+guarantees it, reference ``engine/trainer.py:253-255``), so ``source_id`` is
+a STATIC argument — each dataset gets its own compiled program, which also
+gives each dataset its natural static class-count shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .mil_heads import InstanceRefinementOutputLayers, ObjectMiningOutputLayers
+from .roi_heads import ROIHeadsOutput, WSOVODROIHeads
+
+
+def dataset_family(name: str) -> str:
+    """'voc'/'coco'/'lvis' family key (reference :2021-2040)."""
+    lname = name.lower()
+    for fam in ("voc", "lvis", "coco", "ilsvrc"):
+        if fam in lname:
+            return fam
+    return lname
+
+
+class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
+    dataset_names: Sequence[str] = ()
+    num_classes_list: Sequence[int] = ()
+
+    def setup(self):
+        super().setup()
+        families = []
+        self._miner_index = []
+        for n in self.dataset_names:
+            fam = dataset_family(n)
+            if fam not in families:
+                families.append(fam)
+            self._miner_index.append(families.index(fam))
+        fam_classes = {}
+        for i, n in enumerate(self.dataset_names):
+            fam_classes.setdefault(self._miner_index[i], self.num_classes_list[i])
+        self.object_miners = [
+            ObjectMiningOutputLayers(
+                num_classes=fam_classes[fi],
+                mean_loss=self.object_mining_mean_loss,
+                loss_weight=self.object_mining_weight,
+                context=self.pooler.triple,
+                name=f"object_miner_{fi}",
+            )
+            for fi in sorted(fam_classes)
+        ]
+
+    def __call__(
+        self,
+        features,
+        proposals,
+        gt_classes,
+        gt_valid,
+        source_id: int = 0,
+        data_aware_features=None,
+        classifier: Optional[jnp.ndarray] = None,
+        embeddings: Optional[jnp.ndarray] = None,
+        append_background: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> ROIHeadsOutput:
+        from .mining import get_image_level_gt, pgt_mist, pgt_top_k
+        from .mining import LabeledProposals, label_and_sample_wsl
+        from ..ops.matcher import Matcher
+
+        num_classes = self.num_classes_list[source_id]
+        miner = self.object_miners[self._miner_index[source_id]]
+
+        oh, _, present = jax.vmap(
+            lambda c, v: get_image_level_gt(c, v, num_classes)
+        )(gt_classes, gt_valid)
+
+        roi_feats, miner_feats = self._pooled_box_features(
+            features, proposals, data_aware_features, train=True
+        )
+
+        mil_scores = miner(miner_feats, proposals.valid)
+        losses = dict(miner.losses(mil_scores, oh))
+        # prefix losses with the dataset id for observability
+        img_logits = miner.predict_probs_img(mil_scores)
+
+        prev_scores = jnp.concatenate(
+            [mil_scores, jnp.zeros(mil_scores.shape[:-1] + (1,), mil_scores.dtype)],
+            axis=-1,
+        )
+        prev_scores = jax.lax.stop_gradient(prev_scores)
+        proposal_boxes = proposals.proposal_boxes
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        pgt_fn = pgt_mist if self.refine_mist else pgt_top_k
+        for k in range(self.refine_k):
+            mine = jax.vmap(
+                lambda b, s, v, p, w: pgt_fn(b, s[:, :num_classes], v, p, w)
+            )(proposal_boxes, prev_scores, proposals.valid, present,
+              jax.lax.stop_gradient(img_logits))
+            stage = min(k, len(self.sampling_iou_thresholds) - 1)
+            matcher = Matcher(
+                list(self.sampling_iou_thresholds[stage]),
+                list(self.sampling_iou_labels[stage]),
+                allow_low_quality_matches=False,
+            )
+            rng, krng = jax.random.split(rng)
+            keys = jax.random.split(krng, proposal_boxes.shape[0])
+            labeled = jax.vmap(
+                lambda pb, pv, pg, key: label_and_sample_wsl(
+                    pb, pv, pg, matcher, num_classes,
+                    self.sampling_batch_size[stage],
+                    self.sampling_pos_fraction[stage],
+                    key,
+                    cls_agnostic_bbox_known=self.cls_agnostic_bbox_known,
+                )
+            )(proposal_boxes, proposals.valid, mine, keys)
+
+            scores_k, deltas_k = self.box_refinery[k](
+                roi_feats, classifier=classifier,
+                append_background=append_background, embeddings=embeddings,
+            )
+            losses_k = self.box_refinery[k].losses(
+                scores_k, deltas_k, proposal_boxes,
+                labeled.gt_classes, labeled.gt_boxes, labeled.gt_weights,
+                proposals.valid, num_classes=num_classes,
+            )
+            losses.update(losses_k)
+            prev_scores = jax.lax.stop_gradient(
+                nn.softmax(scores_k.astype(jnp.float32), axis=-1)
+            )
+
+        proposal_targets = None
+        if self.rpn_on:
+            proposal_targets = jax.vmap(
+                lambda b, s, v, p, w: pgt_top_k(b, s[:, :num_classes], v, p, w, top_k=1)
+            )(proposal_boxes, prev_scores, proposals.valid, present,
+              jax.lax.stop_gradient(img_logits))
+
+        return ROIHeadsOutput(losses, proposal_targets, img_logits)
+
+
+def build_mixed_roi_heads(cfg, pooler):
+    from .roi_heads import build_roi_heads
+
+    base = build_roi_heads(cfg, pooler)
+    kwargs = {f.name: getattr(base, f.name) for f in base.__dataclass_fields__.values()
+              if f.name not in ("parent", "name")}
+    kwargs["dataset_names"] = tuple(cfg.DATASETS.MIXED_DATASETS.NAMES)
+    kwargs["num_classes_list"] = tuple(cfg.DATASETS.MIXED_DATASETS.NUM_CLASSES)
+    return WSOVODMixedDatasetsROIHeads(**kwargs)

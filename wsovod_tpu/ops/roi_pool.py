@@ -208,7 +208,7 @@ def roi_loop_pool(
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned"),
+    static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned", "roi_chunk"),
 )
 def roi_align(
     feat: jnp.ndarray,
@@ -217,13 +217,47 @@ def roi_align(
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
     aligned: bool = True,
+    roi_chunk: int = 512,
 ) -> jnp.ndarray:
     """ROIAlign (torchvision V2 semantics when ``aligned=True``).
 
     feat [H, W, C], rois [N, 4] -> [N, P, P, C]. Static ``sampling_ratio``
     (the adaptive ``ratio=0`` mode is dynamic-shape and not XLA-expressible;
     d2 defaults effectively use a small fixed grid — we default to 2).
+
+    ROIs are processed in ``roi_chunk`` blocks via ``lax.map`` so the
+    bilinear gather intermediates stay bounded (a 5k-ROI, 2048-channel call
+    would otherwise materialise ~4 GB per corner gather).
     """
+    n = rois.shape[0]
+    if n > roi_chunk:
+        # static chunk loop (NOT lax.map: under an outer vmap a mapped scan
+        # can stack per-chunk gather intermediates into one giant buffer)
+        pad = (-n) % roi_chunk
+        rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
+        outs = [
+            _roi_align_impl(
+                feat,
+                rois_p[i : i + roi_chunk],
+                output_size,
+                spatial_scale,
+                sampling_ratio,
+                aligned,
+            )
+            for i in range(0, rois_p.shape[0], roi_chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)[:n]
+    return _roi_align_impl(feat, rois, output_size, spatial_scale, sampling_ratio, aligned)
+
+
+def _roi_align_impl(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size: int,
+    spatial_scale: float,
+    sampling_ratio: int,
+    aligned: bool,
+) -> jnp.ndarray:
     h_lim, w_lim, _ = feat.shape
     p = output_size
     s = max(sampling_ratio, 1)
@@ -271,14 +305,15 @@ def roi_align(
     v10 = gather(yhi, xlo)
     v11 = gather(yhi, xhi)
 
-    wy0e = wy0[:, :, :, None, None, None]
-    wy1e = wy1[:, :, :, None, None, None]
-    wx0e = wx0[:, None, None, :, :, None]
-    wx1e = wx1[:, None, None, :, :, None]
+    dt = feat.dtype
+    wy0e = wy0[:, :, :, None, None, None].astype(dt)
+    wy1e = wy1[:, :, :, None, None, None].astype(dt)
+    wx0e = wx0[:, None, None, :, :, None].astype(dt)
+    wx1e = wx1[:, None, None, :, :, None].astype(dt)
     val = v00 * wy0e * wx0e + v01 * wy0e * wx1e + v10 * wy1e * wx0e + v11 * wy1e * wx1e
 
     ok = (yok[:, :, :, None, None] & xok[:, None, None, :, :])[..., None]
-    val = jnp.where(ok, val, 0.0)
+    val = jnp.where(ok, val, jnp.zeros((), dt))
 
     # Average over the S x S samples per bin: [N, Pph, S, Ppw, S, C] -> [N,P,P,C]
     out = val.reshape(val.shape[0], p, s, p, s, -1).mean(axis=(2, 4))
