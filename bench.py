@@ -62,9 +62,20 @@ def main():
     emb = jnp.asarray(rng.randn(80, 512).astype(np.float32))
 
     model = build_model(cfg)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0)}, batch, train=False, embeddings=emb
-    )
+    # init on tiny shapes (params depend only on channel dims), run on full
+    init_boxes = boxes[:, :16] * (128.0 / W)
+    init_batch = {
+        "images": jnp.zeros((1, 128, 128, 3), jnp.float32),
+        "image_sizes": jnp.asarray([[128, 128]], jnp.int32),
+        "sam_boxes": jnp.asarray(init_boxes[:1].astype(np.float32)),
+        "sam_scores": batch["sam_scores"][:1, :16],
+        "sam_valid": batch["sam_valid"][:1, :16],
+    }
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, init_batch, train=False, embeddings=emb
+        )
+    )()
 
     @jax.jit
     def infer(params, batch):

@@ -16,34 +16,91 @@ def _rand_feat_rois(rng, h=24, w=32, c=8, n=12, img_scale=2.0):
     return feat, rois
 
 
-def test_roi_pool_torchvision_parity():
-    torch = pytest.importorskip("torch")
-    tv = pytest.importorskip("torchvision.ops")
+def _naive_roi_pool(feat, rois, pooled, scale):
+    """Direct python port of torchvision RoIPool semantics for goldens."""
+    H, W, C = feat.shape
+    out = np.zeros((len(rois), pooled, pooled, C), np.float32)
+    for n, (x1, y1, x2, y2) in enumerate(rois):
+        rx1, ry1 = int(round(x1 * scale)), int(round(y1 * scale))
+        rx2, ry2 = int(round(x2 * scale)), int(round(y2 * scale))
+        rw, rh = max(rx2 - rx1 + 1, 1), max(ry2 - ry1 + 1, 1)
+        for ph in range(pooled):
+            for pw in range(pooled):
+                hs = min(max(int(np.floor(ph * rh / pooled)) + ry1, 0), H)
+                he = min(max(int(np.ceil((ph + 1) * rh / pooled)) + ry1, 0), H)
+                ws = min(max(int(np.floor(pw * rw / pooled)) + rx1, 0), W)
+                we = min(max(int(np.ceil((pw + 1) * rw / pooled)) + rx1, 0), W)
+                if he > hs and we > ws:
+                    out[n, ph, pw] = feat[hs:he, ws:we].max(axis=(0, 1))
+    return out
+
+
+def _naive_roi_align(feat, rois, pooled, scale, ratio, aligned):
+    """Direct python port of torchvision ROIAlign (V2 when aligned)."""
+    H, W, C = feat.shape
+    off = 0.5 if aligned else 0.0
+    out = np.zeros((len(rois), pooled, pooled, C), np.float32)
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros(C, np.float32)
+        y = min(max(y, 0.0), H - 1)
+        x = min(max(x, 0.0), W - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+        ly, lx = y - y0, x - x0
+        return (
+            feat[y0, x0] * (1 - ly) * (1 - lx)
+            + feat[y0, x1] * (1 - ly) * lx
+            + feat[y1, x0] * ly * (1 - lx)
+            + feat[y1, x1] * ly * lx
+        )
+
+    for n, (bx1, by1, bx2, by2) in enumerate(rois):
+        x1, y1 = bx1 * scale - off, by1 * scale - off
+        x2, y2 = bx2 * scale - off, by2 * scale - off
+        rw, rh = x2 - x1, y2 - y1
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / pooled, rh / pooled
+        for ph in range(pooled):
+            for pw in range(pooled):
+                acc = np.zeros(C, np.float32)
+                for sy in range(ratio):
+                    for sx in range(ratio):
+                        yy = y1 + (ph + (sy + 0.5) / ratio) * bh
+                        xx = x1 + (pw + (sx + 0.5) / ratio) * bw
+                        acc += bilinear(yy, xx)
+                out[n, ph, pw] = acc / (ratio * ratio)
+    return out
+
+
+def test_roi_pool_naive_parity():
     rng = np.random.RandomState(0)
     feat, rois = _rand_feat_rois(rng)
     scale = 0.5
     ours = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(rois), 7, scale))
-    t_feat = torch.from_numpy(feat).permute(2, 0, 1)[None]  # NCHW
-    t_rois = torch.cat([torch.zeros(len(rois), 1), torch.from_numpy(rois)], dim=1)
-    ref = tv.roi_pool(t_feat, t_rois, (7, 7), scale).numpy()  # [N, C, 7, 7]
-    ref = np.transpose(ref, (0, 2, 3, 1))
+    ref = _naive_roi_pool(feat, rois, 7, scale)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
-def test_roi_align_torchvision_parity():
-    torch = pytest.importorskip("torch")
-    tv = pytest.importorskip("torchvision.ops")
+def test_roi_align_naive_parity():
     rng = np.random.RandomState(1)
     feat, rois = _rand_feat_rois(rng)
     scale = 0.5
     ours = np.asarray(
         roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, scale, sampling_ratio=2, aligned=True)
     )
-    t_feat = torch.from_numpy(feat).permute(2, 0, 1)[None]
-    t_rois = torch.cat([torch.zeros(len(rois), 1), torch.from_numpy(rois)], dim=1)
-    ref = tv.roi_align(t_feat, t_rois, (7, 7), scale, sampling_ratio=2, aligned=True).numpy()
-    ref = np.transpose(ref, (0, 2, 3, 1))
-    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+    ref = _naive_roi_align(feat, rois, 7, scale, 2, True)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_roi_align_chunking_consistent():
+    rng = np.random.RandomState(2)
+    feat, rois = _rand_feat_rois(rng, n=12)
+    a = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 0.5, roi_chunk=4))
+    b = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 0.5, roi_chunk=512))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def _naive_loop_pool(feat_hwc, rois, pooled, scale, context_ratio=1.8):

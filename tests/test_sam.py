@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _tiny_sam():
+    from wsovod_tpu.offline.sam.modeling import SAM, SAM_CONFIGS
+
+    SAM_CONFIGS["tiny"] = dict(embed_dim=32, depth=2, num_heads=2, global_attn_indexes=(1,))
+    return SAM(model_type="tiny", img_size=64)
+
+
+def test_sam_end_to_end_shapes():
+    sam = _tiny_sam()
+    x = jnp.zeros((1, 64, 64, 3))
+    boxes = jnp.asarray(np.array([[4, 4, 40, 40], [10, 10, 30, 50]], np.float32))
+    params = sam.init(KEY, x, boxes)
+    masks, iou = sam.apply(params, x, boxes)
+    # 64/16 = 4 -> masks upscaled 4x to 16
+    assert masks.shape == (2, 4, 16, 16)
+    assert iou.shape == (2, 4)
+
+
+def test_sam_point_decode():
+    sam = _tiny_sam()
+    x = jnp.zeros((1, 64, 64, 3))
+    boxes = jnp.asarray(np.array([[4, 4, 40, 40]], np.float32))
+    params = sam.init(KEY, x, boxes)
+    emb = sam.apply(params, x, method=sam.encode_image)
+    pts = jnp.asarray(np.array([[[32.0, 32.0]]], np.float32))
+    labels = jnp.ones((1, 1), jnp.int32)
+    masks, iou = sam.apply(params, emb, pts, labels, method=sam.decode_points)
+    assert masks.shape == (1, 4, 16, 16)
+
+
+def test_mask_to_box():
+    from wsovod_tpu.offline.sam.predictor import mask_to_box
+
+    m = jnp.zeros((8, 8), bool).at[2:5, 3:7].set(True)
+    fb = jnp.asarray([0.0, 0, 8, 8])
+    box = np.asarray(mask_to_box(m, fb))
+    np.testing.assert_allclose(box, [3, 2, 7, 5])
+    empty = jnp.zeros((8, 8), bool)
+    np.testing.assert_allclose(np.asarray(mask_to_box(empty, fb)), [0, 0, 8, 8])
+
+
+def test_point_grid_and_crops():
+    from wsovod_tpu.offline.sam.amg import build_point_grid, generate_crop_boxes
+
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert (g > 0).all() and (g < 1).all()
+    crops = generate_crop_boxes(100, 150, 1, 0.34)
+    assert crops[0] == (0, 0, 150, 100)
+    assert len(crops) == 5  # full + 2x2
+
+
+def test_flax_convtranspose_matches_torch():
+    """The mask decoder's upscaling ConvTranspose must match torch semantics
+    under the importer's kernel transpose."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as nn
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 5, 5, 3).astype(np.float32)
+    tconv = torch.nn.ConvTranspose2d(3, 4, kernel_size=2, stride=2)
+    ref = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+    ref = ref.transpose(0, 2, 3, 1)
+
+    w = tconv.weight.detach().numpy()  # [in, out, kh, kw]
+    b = tconv.bias.detach().numpy()
+    mod = nn.ConvTranspose(4, (2, 2), strides=(2, 2), transpose_kernel=True)
+    params = {"params": {"kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                         "bias": jnp.asarray(b)}}
+    out = np.asarray(mod.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_prompt_encoder_box_embedding():
+    from wsovod_tpu.offline.sam.modeling import PromptEncoder
+
+    pe = PromptEncoder(embed_dim=32, image_embedding_size=(4, 4), input_image_size=(64, 64))
+    boxes = jnp.asarray(np.array([[4, 4, 40, 40]], np.float32))
+    params = pe.init(KEY, boxes=boxes)
+    sparse, dense = pe.apply(params, boxes=boxes)
+    assert sparse.shape == (1, 2, 32)
+    assert dense.shape == (1, 4, 4, 32)
+    pe_grid = pe.apply(params, method=pe.dense_pe)
+    assert pe_grid.shape == (4, 4, 32)

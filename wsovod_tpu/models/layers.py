@@ -31,8 +31,11 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("mean", nn.initializers.zeros, shape)
         var = self.param("var", nn.initializers.ones, shape)
         # Fold into a single scale/shift (XLA fuses this into the conv).
-        mul = scale / jnp.sqrt(var + self.eps)
-        return x * mul + (bias - mean * mul)
+        # Cast to the activation dtype so frozen stats don't upcast a bf16
+        # compute path back to f32.
+        mul = (scale / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        add = (bias - mean * (scale / jnp.sqrt(var + self.eps))).astype(x.dtype)
+        return x * mul + add
 
 
 def get_norm(norm: str, features: int) -> Optional[nn.Module]:

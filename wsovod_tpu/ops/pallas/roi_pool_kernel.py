@@ -44,11 +44,10 @@ def _round_scalar(x):
 
 def _bin_edges_scalar(start, size, p):
     """Bin [lo, hi) edges for ``p`` bins as two length-p int32 vectors
-    (computed with static-size iota; start/size are traced scalars)."""
+    (exact integer floor/ceil division; start/size are traced scalars)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
-    binf = size.astype(jnp.float32) / p
-    lo = jnp.floor(idx.astype(jnp.float32) * binf).astype(jnp.int32) + start
-    hi = jnp.ceil((idx.astype(jnp.float32) + 1.0) * binf).astype(jnp.int32) + start
+    lo = (idx * size) // p + start
+    hi = -((-(idx + 1) * size) // p) + start
     return lo, hi
 
 

@@ -48,10 +48,11 @@ def _bin_edges(start: jnp.ndarray, size: jnp.ndarray, pooled: int, limit: int):
 
     Returns: (lo, hi): [N, P] int32, clipped to [0, limit].
     """
-    bin_size = size.astype(jnp.float32) / pooled  # [N]
-    p = jnp.arange(pooled, dtype=jnp.float32)  # [P]
-    lo = jnp.floor(p[None, :] * bin_size[:, None]).astype(jnp.int32) + start[:, None]
-    hi = jnp.ceil((p[None, :] + 1) * bin_size[:, None]).astype(jnp.int32) + start[:, None]
+    # exact integer arithmetic: floor(ph*size/p) and ceil((ph+1)*size/p)
+    # (float32 would overshoot the ceil at exact integers)
+    p = jnp.arange(pooled, dtype=jnp.int32)  # [P]
+    lo = (p[None, :] * size[:, None]) // pooled + start[:, None]
+    hi = -((-(p[None, :] + 1) * size[:, None]) // pooled) + start[:, None]
     return jnp.clip(lo, 0, limit), jnp.clip(hi, 0, limit)
 
 
@@ -276,45 +277,40 @@ def _roi_align_impl(
     bin_w = rw / p  # [N]
     bin_h = rh / p
 
-    # Sample point coordinates: [N, P, S]
-    grid = (jnp.arange(p)[None, :, None] + (jnp.arange(s)[None, None, :] + 0.5) / s)
-    ys = y1[:, None, None] + grid * bin_h[:, None, None]  # [N, P, S]
-    xs = x1[:, None, None] + grid * bin_w[:, None, None]
+    dt = feat.dtype
+    flat = feat.reshape(h_lim * w_lim, -1)  # [H*W, C]
+    n = rois.shape[0]
+    c = feat.shape[-1]
 
     def bilinear_1d(coord, limit):
         """Return (lo_idx, hi_idx, lo_wt, hi_wt, in_range)."""
         in_range = (coord >= -1.0) & (coord <= limit)
-        c = jnp.clip(coord, 0.0, limit - 1)
-        lo = jnp.floor(c)
+        cc = jnp.clip(coord, 0.0, limit - 1)
+        lo = jnp.floor(cc)
         hi = jnp.minimum(lo + 1, limit - 1)
-        wt_hi = c - lo
+        wt_hi = cc - lo
         return lo.astype(jnp.int32), hi.astype(jnp.int32), 1.0 - wt_hi, wt_hi, in_range
 
-    ylo, yhi, wy0, wy1, yok = bilinear_1d(ys, h_lim)
-    xlo, xhi, wx0, wx1, xok = bilinear_1d(xs, w_lim)
+    # Accumulate per sample point (static S x S loop) so nothing larger than
+    # [N, P, P, C] is ever materialised.
+    acc = jnp.zeros((n, p, p, c), dt)
+    for sy in range(s):
+        ys = y1[:, None] + (jnp.arange(p)[None, :] + (sy + 0.5) / s) * bin_h[:, None]
+        ylo, yhi, wy0, wy1, yok = bilinear_1d(ys, h_lim)  # [N, P]
+        for sx in range(s):
+            xs = x1[:, None] + (jnp.arange(p)[None, :] + (sx + 0.5) / s) * bin_w[:, None]
+            xlo, xhi, wx0, wx1, xok = bilinear_1d(xs, w_lim)
 
-    flat = feat.reshape(h_lim * w_lim, -1)  # [H*W, C]
+            def g(yi, xi):
+                idx = yi[:, :, None] * w_lim + xi[:, None, :]  # [N, P, P]
+                return flat[idx]  # [N, P, P, C]
 
-    def gather(yi, xi):
-        # yi: [N, P, S]; xi: [N, P, S] -> [N, P, S, P, S, C]
-        idx = yi[:, :, :, None, None] * w_lim + xi[:, None, None, :, :]
-        return flat[idx]
-
-    v00 = gather(ylo, xlo)
-    v01 = gather(ylo, xhi)
-    v10 = gather(yhi, xlo)
-    v11 = gather(yhi, xhi)
-
-    dt = feat.dtype
-    wy0e = wy0[:, :, :, None, None, None].astype(dt)
-    wy1e = wy1[:, :, :, None, None, None].astype(dt)
-    wx0e = wx0[:, None, None, :, :, None].astype(dt)
-    wx1e = wx1[:, None, None, :, :, None].astype(dt)
-    val = v00 * wy0e * wx0e + v01 * wy0e * wx1e + v10 * wy1e * wx0e + v11 * wy1e * wx1e
-
-    ok = (yok[:, :, :, None, None] & xok[:, None, None, :, :])[..., None]
-    val = jnp.where(ok, val, jnp.zeros((), dt))
-
-    # Average over the S x S samples per bin: [N, Pph, S, Ppw, S, C] -> [N,P,P,C]
-    out = val.reshape(val.shape[0], p, s, p, s, -1).mean(axis=(2, 4))
-    return out
+            val = (
+                g(ylo, xlo) * (wy0[:, :, None] * wx0[:, None, :])[..., None].astype(dt)
+                + g(ylo, xhi) * (wy0[:, :, None] * wx1[:, None, :])[..., None].astype(dt)
+                + g(yhi, xlo) * (wy1[:, :, None] * wx0[:, None, :])[..., None].astype(dt)
+                + g(yhi, xhi) * (wy1[:, :, None] * wx1[:, None, :])[..., None].astype(dt)
+            )
+            ok = (yok[:, :, None] & xok[:, None, :])[..., None]
+            acc = acc + jnp.where(ok, val, jnp.zeros((), dt))
+    return acc / (s * s)
