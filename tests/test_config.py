@@ -64,3 +64,14 @@ def test_base_yaml_values():
     assert cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG == [True]
     assert tuple(cfg.SOLVER.STEPS) == (140000,)
     assert cfg.MODEL.RESNETS.DEPTH == 18
+
+
+def test_our_configs_load():
+    import glob
+
+    cfgs = glob.glob("configs/**/*.yaml", recursive=True)
+    assert len(cfgs) >= 15
+    for path in cfgs:
+        cfg = get_cfg()
+        cfg.merge_from_file(path)
+        cfg.freeze()

@@ -120,3 +120,30 @@ def test_multi_dataset_sampler():
     d1 = sum(1 for d, _ in pairs if d == 1)
     # dataset 0 (smaller) is upweighted 2x -> roughly balanced counts
     assert abs(d0 - d1) < 30
+
+
+def test_wsovod_rpn_anchor_free():
+    from wsovod_tpu.models.rpn import WSOVODRPN
+
+    rpn = WSOVODRPN(
+        in_features=("res5",), strides=(8,),
+        pre_nms_topk_train=32, post_nms_topk_train=16,
+        batch_size_per_image=8,
+    )
+    feats = {"res5": jax.random.normal(KEY, (2, 8, 8, 32))}
+    sizes = jnp.asarray(np.array([[64, 64], [64, 64]], np.int32))
+    params = rpn.init(KEY, feats, sizes, train=True)
+    proposals, aux = rpn.apply(params, feats, sizes, train=True)
+    assert proposals.proposal_boxes.shape == (2, 16, 4)
+    assert aux.logits.shape == (2, 2, 64)  # stacked (cls, obj)
+
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(5, 30, (2, 3, 2))
+    gt_boxes = jnp.asarray(np.concatenate([gt, gt + 20], -1).astype(np.float32))
+    gt_valid = jnp.ones((2, 3), bool)
+    losses = rpn.apply(
+        params, aux, gt_boxes, gt_valid, jax.random.PRNGKey(1), method=rpn.losses
+    )
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_bbox", "loss_rpn_obj"}
+    for v in losses.values():
+        assert np.isfinite(float(v))

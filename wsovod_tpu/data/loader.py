@@ -151,6 +151,8 @@ def build_detection_train_loader(
             len(dicts), seed=seed, shard_rank=shard_rank, num_shards=num_shards
         )
 
+    class_grouping = cfg.DATALOADER.CLASS_ASPECT_RATIO_GROUPING
+
     def gen():
         rng = np.random.RandomState(seed + 1000 * shard_rank)
         buckets: Dict[tuple, List[Dict]] = defaultdict(list)
@@ -163,6 +165,18 @@ def build_detection_train_loader(
             if not ex["gt_valid"].any():
                 continue
             key = ex["images"].shape
+            if class_grouping:
+                # group batches by (random present class, bucket) so each
+                # batch shares a class (reference ``data/common.py:20-71``
+                # ClassAspectRatioGroupedDataset)
+                present = np.flatnonzero(
+                    np.bincount(
+                        ex["gt_classes"][ex["gt_valid"]],
+                        minlength=1,
+                    )
+                )
+                cls = int(rng.choice(present)) if len(present) else -1
+                key = (cls,) + key
             buckets[key].append(ex)
             if len(buckets[key]) == batch_size:
                 yield _stack_batch(buckets.pop(key))

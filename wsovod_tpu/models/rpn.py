@@ -32,7 +32,13 @@ import numpy as np
 
 from ..ops.matcher import Matcher
 from ..ops.sampling import subsample_labels
-from ..structures.boxes import apply_deltas, get_deltas, pairwise_iou
+from ..structures.boxes import (
+    apply_deltas,
+    apply_deltas_linear,
+    get_deltas,
+    get_deltas_linear,
+    pairwise_iou,
+)
 from ..structures.instances import Instances
 from .anchors import AnchorGenerator, build_anchor_generator
 from .class_heads import l2_normalize
@@ -288,6 +294,27 @@ def build_proposal_generator(cfg, strides: Sequence[int]) -> WSOVODRPN_V2:
         return None
     assert name in ("WSOVODRPN_V2", "WSOVODRPN"), name
     rpn = cfg.MODEL.RPN
+    if name == "WSOVODRPN":
+        return WSOVODRPN(
+            in_features=tuple(rpn.IN_FEATURES),
+            strides=tuple(strides),
+            nms_thresh=rpn.NMS_THRESH,
+            min_box_size=cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE,
+            batch_size_per_image=rpn.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=rpn.POSITIVE_FRACTION,
+            pre_nms_topk_train=rpn.PRE_NMS_TOPK_TRAIN,
+            pre_nms_topk_test=rpn.PRE_NMS_TOPK_TEST,
+            post_nms_topk_train=rpn.POST_NMS_TOPK_TRAIN,
+            post_nms_topk_test=rpn.POST_NMS_TOPK_TEST,
+            iou_thresholds=tuple(rpn.IOU_THRESHOLDS),
+            iou_labels=tuple(rpn.IOU_LABELS),
+            smooth_l1_beta=rpn.SMOOTH_L1_BETA,
+            loss_weight_cls=rpn.LOSS_WEIGHT,
+            loss_weight_loc=rpn.BBOX_REG_LOSS_WEIGHT * rpn.LOSS_WEIGHT,
+            mrrp_on=cfg.MODEL.MRRP.MRRP_ON,
+            mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
+            mrrp_fast=cfg.MODEL.MRRP.TEST_BRANCH_IDX != -1,
+        )
     return WSOVODRPN_V2(
         in_features=tuple(rpn.IN_FEATURES),
         strides=tuple(strides),
@@ -313,3 +340,178 @@ def build_proposal_generator(cfg, strides: Sequence[int]) -> WSOVODRPN_V2:
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         mrrp_fast=cfg.MODEL.MRRP.TEST_BRANCH_IDX != -1,
     )
+
+
+class WSOVODRPN(nn.Module):
+    """Anchor-free location-oriented RPN (reference ``rpn.py:517-947``).
+
+    One size-of-stride anchor per location; the 3-output ``WSOVODRPNHead``
+    predicts cls / linear box distances / centerness-style objectness.
+    Losses (deferred, like V2): BCE on cls with the main matcher, smooth-L1
+    box regression via ``Box2BoxTransformLinear``, and L1 between
+    sigmoid(objectness) and sqrt-centerness targets under a second matcher
+    (IOU [0.1, 0.3], sampled at positive_fraction 1). Proposal score =
+    sqrt(sigmoid(cls) * sigmoid(obj)) (:913-916).
+    """
+
+    in_features: Sequence[str] = ("res5",)
+    strides: Sequence[int] = (8,)
+    nms_thresh: float = 0.7
+    min_box_size: float = 0.0
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    pre_nms_topk_train: int = 2048
+    pre_nms_topk_test: int = 2048
+    post_nms_topk_train: int = 1024
+    post_nms_topk_test: int = 1024
+    iou_thresholds: Sequence[float] = (0.2, 0.6)
+    iou_labels: Sequence[int] = (0, -1, 1)
+    objectness_iou_thresholds: Sequence[float] = (0.1, 0.3)
+    objectness_iou_labels: Sequence[int] = (0, -1, 1)
+    smooth_l1_beta: float = 0.0
+    loss_weight_cls: float = 1.0
+    loss_weight_loc: float = 1.0
+    loss_weight_obj: float = 1.0
+    mrrp_on: bool = False
+    mrrp_num_branch: int = 3
+    mrrp_fast: bool = True
+
+    def _anchors(self, grid_sizes):
+        gen = AnchorGenerator(
+            sizes=[(s,) for s in self.strides],
+            aspect_ratios=[(1.0,)] * len(self.strides),
+            strides=list(self.strides),
+            offset=0.5,
+        )
+        return gen.grid_anchors(grid_sizes)
+
+    @nn.compact
+    def __call__(self, features, image_sizes, train: bool = False):
+        feats = [features[f] for f in self.in_features]
+        if self.mrrp_on:
+            n_br = self.mrrp_num_branch if (train or not self.mrrp_fast) else 1
+            feats = [c for f in feats for c in jnp.split(f, n_br, axis=0)]
+
+        head = WSOVODRPNHead(conv_dim=feats[0].shape[-1], name="rpn_head")
+        logits_l, reg_l, obj_l = head(feats)
+        grid_sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors_np = self._anchors(grid_sizes)
+
+        flat_logits, flat_obj, flat_deltas, proposals_l, scores_l = [], [], [], [], []
+        for lg, rg, ob, anc in zip(logits_l, reg_l, obj_l, anchors_np):
+            b = lg.shape[0]
+            lg = lg.reshape(b, -1)
+            ob = ob.reshape(b, -1)
+            rg = rg.reshape(b, -1, 4)
+            anchors = jnp.asarray(anc)
+            boxes = apply_deltas_linear(jax.lax.stop_gradient(rg), anchors[None])
+            flat_logits.append(lg)
+            flat_obj.append(ob)
+            flat_deltas.append(rg)
+            proposals_l.append(boxes)
+            scores_l.append(
+                jnp.sqrt(
+                    jax.nn.sigmoid(jax.lax.stop_gradient(lg))
+                    * jax.nn.sigmoid(jax.lax.stop_gradient(ob))
+                )
+            )
+
+        pre = self.pre_nms_topk_train if train else self.pre_nms_topk_test
+        post = self.post_nms_topk_train if train else self.post_nms_topk_test
+        proposals = find_top_rpn_proposals(
+            proposals_l, scores_l, image_sizes,
+            self.nms_thresh, pre, post, self.min_box_size,
+        )
+        aux = RPNAux(
+            anchors=jnp.concatenate([jnp.asarray(a) for a in anchors_np], axis=0),
+            logits=jnp.concatenate(flat_logits, axis=1),
+            deltas=jnp.concatenate(flat_deltas, axis=1),
+        )
+        # objectness predictions travel alongside via a widened aux tuple
+        aux = aux._replace(
+            logits=jnp.stack(
+                [jnp.concatenate(flat_logits, axis=1), jnp.concatenate(flat_obj, axis=1)],
+                axis=0,
+            )
+        )
+        return proposals, aux
+
+    def losses(self, aux: RPNAux, gt_boxes, gt_valid, rng):
+        cls_logits = aux.logits[0]
+        obj_logits = aux.logits[1]
+        b = cls_logits.shape[0]
+
+        main_matcher = Matcher(
+            list(self.iou_thresholds), list(self.iou_labels), allow_low_quality_matches=True
+        )
+        obj_matcher = Matcher(
+            list(self.objectness_iou_thresholds),
+            list(self.objectness_iou_labels),
+            allow_low_quality_matches=True,
+        )
+
+        def label_one(gt_b, gt_v, key):
+            iou = pairwise_iou(gt_b, aux.anchors)
+            k1, k2 = jax.random.split(key)
+            m_idx, m_lab = main_matcher(iou, gt_valid=gt_v)
+            o_idx, o_lab = obj_matcher(iou, gt_valid=gt_v)
+            any_gt = jnp.any(gt_v)
+            m_lab = jnp.where(any_gt, m_lab, jnp.zeros_like(m_lab))
+            o_lab = jnp.where(any_gt, o_lab, jnp.zeros_like(o_lab))
+            pos, neg = subsample_labels(
+                m_lab.astype(jnp.int32), self.batch_size_per_image,
+                self.positive_fraction, k1,
+            )
+            m_s = jnp.where(pos, 1, jnp.where(neg, 0, -1)).astype(jnp.int32)
+            pos2, neg2 = subsample_labels(
+                o_lab.astype(jnp.int32), self.batch_size_per_image, 1.0, k2
+            )
+            o_s = jnp.where(pos2, 1, jnp.where(neg2, 0, -1)).astype(jnp.int32)
+            return m_s, gt_b[m_idx], o_s, gt_b[o_idx]
+
+        keys = jax.random.split(rng, b)
+        m_lab, m_box, o_lab, o_box = jax.vmap(label_one)(gt_boxes, gt_valid, keys)
+
+        pos = m_lab == 1
+        valid = m_lab >= 0
+
+        # cls BCE
+        lg = cls_logits.astype(jnp.float32)
+        tgt = pos.astype(jnp.float32)
+        bce = jnp.maximum(lg, 0) - lg * tgt + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+        cls_loss = jnp.sum(bce * valid.astype(jnp.float32))
+
+        # linear-delta smooth-l1 box loss on positives
+        gt_d = get_deltas_linear(aux.anchors[None], m_box)
+        gt_d = jnp.nan_to_num(gt_d, nan=0.0, posinf=0.0, neginf=0.0)
+        diff = jnp.abs(aux.deltas - gt_d)
+        if self.smooth_l1_beta > 1e-12:
+            l1 = jnp.where(
+                diff < self.smooth_l1_beta,
+                0.5 * diff * diff / self.smooth_l1_beta,
+                diff - 0.5 * self.smooth_l1_beta,
+            )
+        else:
+            l1 = diff
+        loc_loss = jnp.sum(l1 * pos[..., None].astype(l1.dtype))
+
+        # centerness L1 on objectness positives
+        reg_t = get_deltas_linear(aux.anchors[None], o_box, normalize_by_size=False)
+        lr = reg_t[..., jnp.array([0, 2])]
+        tb = reg_t[..., jnp.array([1, 3])]
+        ctr = (jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), 1e-12)) * (
+            jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), 1e-12)
+        )
+        ctr_t = jnp.sqrt(jnp.maximum(ctr, 0.0))
+        ok = (o_lab == 1) & jnp.isfinite(ctr_t)
+        obj_loss = jnp.sum(
+            jnp.abs(jax.nn.sigmoid(obj_logits.astype(jnp.float32)) - ctr_t)
+            * ok.astype(jnp.float32)
+        )
+
+        normalizer = self.batch_size_per_image * b
+        return {
+            "loss_rpn_cls": cls_loss / normalizer * self.loss_weight_cls,
+            "loss_rpn_bbox": loc_loss / normalizer * self.loss_weight_loc,
+            "loss_rpn_obj": obj_loss / normalizer * self.loss_weight_obj,
+        }

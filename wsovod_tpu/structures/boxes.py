@@ -107,7 +107,9 @@ def matched_pairwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarra
 # Box <-> delta transforms (d2 Box2BoxTransform / Box2BoxTransformLinear)
 # ---------------------------------------------------------------------------
 
-_DEFAULT_SCALE_CLAMP = float(jnp.log(1000.0 / 16))
+import math
+
+_DEFAULT_SCALE_CLAMP = math.log(1000.0 / 16)
 
 
 def get_deltas(
