@@ -1,0 +1,193 @@
+"""End-to-end slice: synthetic VOC-style dataset -> a few train steps ->
+evaluation through the full test_WSL driver. Everything tiny, CPU."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsovod_tpu.config import get_cfg
+from wsovod_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("synth")
+    (root / "imgs").mkdir()
+    rng = np.random.RandomState(0)
+    dicts = []
+    ids, pboxes, pscores = [], [], []
+    for i in range(6):
+        h, w = 72, 96
+        img = rng.randint(0, 120, (h, w, 3), np.uint8)
+        # paint a bright "object"
+        x1, y1 = rng.randint(5, 30), rng.randint(5, 20)
+        x2, y2 = x1 + rng.randint(20, 40), y1 + rng.randint(20, 35)
+        img[y1:y2, x1:x2] = [250, 120, 30]
+        path = str(root / "imgs" / f"{i}.jpg")
+        cv2.imwrite(path, img)
+        dicts.append(
+            {
+                "file_name": path,
+                "image_id": i,
+                "height": h,
+                "width": w,
+                "annotations": [
+                    {"category_id": i % 2, "bbox": [x1, y1, x2, y2], "bbox_mode": "xyxy"}
+                ],
+            }
+        )
+        ids.append(i)
+        # proposals: the gt box + jittered + random
+        base = np.array([[x1, y1, x2, y2]], np.float32)
+        jit = base + rng.uniform(-4, 4, (6, 4)).astype(np.float32)
+        rand = rng.uniform(0, 50, (5, 2))
+        rand = np.concatenate([rand, rand + rng.uniform(10, 30, (5, 2))], 1).astype(
+            np.float32
+        )
+        pboxes.append(np.concatenate([base, jit, rand]))
+        pscores.append(rng.uniform(0.5, 1.0, 12).astype(np.float32))
+
+    prop_path = str(root / "props.pkl")
+    with open(prop_path, "wb") as f:
+        pickle.dump({"indexes": ids, "boxes": pboxes, "scores": pscores}, f)
+
+    name = "_e2e_synth"
+    if name not in DatasetCatalog.list():
+        DatasetCatalog.register(name, lambda: dicts)
+        MetadataCatalog.get(name).set(
+            thing_classes=["red", "blue"], year=2007, evaluator_type="pascal_voc"
+        )
+    return name, prop_path
+
+
+def _cfg(name, prop_path):
+    cfg = get_cfg()
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.DATASETS.PROPOSAL_FILES_TRAIN = (prop_path,)
+    cfg.DATASETS.PROPOSAL_FILES_TEST = (prop_path,)
+    cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TRAIN = 12
+    cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 12
+    cfg.MODEL.LOAD_PROPOSALS = True
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 2
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 1e-5
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 8
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 8
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 8
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE = True
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.INPUT.MIN_SIZE_TEST = 64
+    cfg.INPUT.MAX_SIZE_TEST = 96
+    cfg.INPUT.CROP.ENABLED = False
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.BASE_LR = 0.001
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.WARMUP_ITERS = 1
+    cfg.TPU.PROPOSAL_PAD = 16
+    cfg.TPU.MAX_GT_PAD = 4
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_train_steps_and_eval(synth_dataset):
+    name, prop_path = synth_dataset
+    cfg = _cfg(name, prop_path)
+
+    from wsovod_tpu.data.loader import build_detection_train_loader
+    from wsovod_tpu.engine.evaluator import test_WSL
+    from wsovod_tpu.engine.train_loop import create_train_state, make_train_step
+    from wsovod_tpu.models import build_model
+    from wsovod_tpu.solver.build import build_optimizer
+
+    model = build_model(cfg)
+    loader = build_detection_train_loader(cfg)
+    batch = next(loader)
+    keys = ("images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid",
+            "gt_classes", "gt_valid")
+    device_batch = {k: jnp.asarray(batch[k]) for k in keys}
+
+    emb = jnp.asarray(np.random.RandomState(1).randn(2, 8).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        device_batch, train=True, iteration=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(2), embeddings=emb,
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    # snapshot before stepping: the train step donates the state buffers
+    d0 = float(
+        sum(
+            np.abs(np.asarray(l)).sum()
+            for l in jax.tree_util.tree_leaves(variables["params"])
+        )
+    )
+    state = create_train_state(variables, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, tx)
+
+    losses = []
+    for it in range(3):
+        state, metrics = step(state, device_batch, emb)
+        total = float(metrics["total_loss"])
+        assert np.isfinite(total)
+        losses.append(total)
+        device_batch = {k: jnp.asarray(b[k]) for b in [next(loader)] for k in keys}
+
+    # params actually changed
+    d1 = float(
+        sum(
+            np.abs(np.asarray(l)).sum()
+            for l in jax.tree_util.tree_leaves(
+                state.params["params"] if "params" in state.params else state.params
+            )
+        )
+    )
+    assert abs(d0 - d1) > 1e-6
+
+    # full evaluation driver
+    results = test_WSL(cfg, model, state.params, embeddings=emb)
+    res = results[name]["bbox"]
+    assert "AP50" in res and "CorLoc50" in res
+    assert np.isfinite(res["AP50"])
+
+
+def test_param_group_labels(synth_dataset):
+    name, prop_path = synth_dataset
+    cfg = _cfg(name, prop_path)
+    cfg.MODEL.BACKBONE.FREEZE_AT = 5
+
+    from wsovod_tpu.models import build_model
+    from wsovod_tpu.solver.build import param_labels
+
+    model = build_model(cfg)
+    batch = {
+        "images": jnp.zeros((1, 64, 64, 3)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+        "sam_boxes": jnp.zeros((1, 4, 4)),
+        "sam_scores": jnp.zeros((1, 4)),
+        "sam_valid": jnp.ones((1, 4), bool),
+    }
+    emb = jnp.zeros((2, 8))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False,
+                           embeddings=emb)
+    labels = param_labels(variables["params"], freeze_at=5)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    lab = {jax.tree_util.keystr(kp): v for kp, v in flat}
+    backbone_labels = {v for k, v in lab.items() if "backbone" in k}
+    assert backbone_labels == {"frozen"}
+    head_bias = [v for k, v in lab.items() if "box_head" in k and "bias" in k]
+    assert set(head_bias) == {"bias"}
