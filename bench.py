@@ -40,6 +40,7 @@ def main():
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 2048
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1024
     cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7  # d2 default is 14; WSOVOD uses 7
     cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE = True
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]

@@ -121,6 +121,14 @@ class WSOVODTrainer:
         max_iter = cfg.SOLVER.MAX_ITER
         logger.info("training from iter %d to %d", start, max_iter)
 
+        from .hooks import ParametersNormInspectHook
+
+        norm_hook = ParametersNormInspectHook(period=max(20, cfg.SOLVER.CHECKPOINT_PERIOD // 10))
+        profile_dir = os.environ.get("WSOVOD_PROFILE_DIR", "")
+        if profile_dir:
+            # jax.profiler trace of the first steps (SURVEY §5 tracing)
+            jax.profiler.start_trace(profile_dir)
+
         batch = self._first_batch
         data_t0 = time.perf_counter()
         for it in range(start, max_iter):
@@ -138,6 +146,17 @@ class WSOVODTrainer:
                 self.storage.put_scalars(data_time=data_time, **host_metrics)
                 for w in self.writers:
                     w.write(self.storage)
+            if profile_dir and it == start + 10:
+                jax.profiler.stop_trace()
+                profile_dir = ""
+            try:
+                norm_hook.after_step(
+                    it,
+                    state.params["params"] if "params" in state.params else state.params,
+                    self.storage,
+                )
+            except Exception:
+                pass
             if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
                 self.state = jax.device_get(state)
                 self.checkpointer.save(f"model_{it:07d}", self.state)

@@ -25,6 +25,7 @@ class DiscriminativeAdaptationNeck(nn.Module):
     fc_dims: Sequence[int] = (4096, 4096)
     conv_norm: str = ""
     dropout_rate: float = 0.5
+    dtype: str | None = None  # compute dtype for the FC GEMMs (None = f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -36,16 +37,29 @@ class DiscriminativeAdaptationNeck(nn.Module):
                     name=f"conv{i + 1}",
                 )(x)
             )
-        x = x.reshape(x.shape[:-3] + (-1,))
         for i, d in enumerate(self.fc_dims):
-            x = nn.relu(
-                nn.Dense(
+            if i == 0:
+                # contract (h, w, c) directly — a reshape to [*, h*w*c] would
+                # force a physical relayout of the 1GB pooled tensor on TPU
+                x = nn.DenseGeneral(
                     d,
+                    axis=(-3, -2, -1),
+                    dtype=self.dtype,
                     kernel_init=nn.initializers.normal(0.005),
                     bias_init=nn.initializers.constant(0.1),
-                    name=f"fc{i + 1}",
+                    name="fc1",
                 )(x)
-            )
+                x = nn.relu(x)
+            else:
+                x = nn.relu(
+                    nn.Dense(
+                        d,
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.005),
+                        bias_init=nn.initializers.constant(0.1),
+                        name=f"fc{i + 1}",
+                    )(x)
+                )
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
 
@@ -60,4 +74,5 @@ def build_box_head(cfg) -> DiscriminativeAdaptationNeck:
         conv_dims=tuple([cfg.MODEL.ROI_BOX_HEAD.CONV_DIM] * cfg.MODEL.ROI_BOX_HEAD.NUM_CONV),
         fc_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
         conv_norm=cfg.MODEL.ROI_BOX_HEAD.NORM,
+        dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
     )

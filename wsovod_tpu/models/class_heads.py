@@ -38,6 +38,7 @@ class OpenVocabularyClassifier(nn.Module):
     norm_weight: bool = True
     norm_temperature: float = 50.0
     random_weight: bool = False  # weight_path == "rand" in the reference
+    dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -47,8 +48,9 @@ class OpenVocabularyClassifier(nn.Module):
         append_background: bool = False,
         embeddings: Optional[jnp.ndarray] = None,  # [C, D] stored default
     ) -> jnp.ndarray:
-        x = nn.relu(nn.Dense(1024, name="proj1")(x))
-        x = nn.relu(nn.Dense(self.weight_dim, name="proj2")(x))
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="proj1")(x))
+        x = nn.relu(nn.Dense(self.weight_dim, dtype=self.dtype, name="proj2")(x))
+        x = x.astype(jnp.float32)  # normalize + cosine logits in f32
 
         if classifier is not None:
             w = classifier.T  # [D, C']

@@ -49,6 +49,7 @@ class ObjectMiningOutputLayers(nn.Module):
     mean_loss: bool = True
     loss_weight: float = 1.0
     context: bool = False  # ContextLocNet variant for ROILoopPool inputs
+    dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -59,12 +60,12 @@ class ObjectMiningOutputLayers(nn.Module):
         """Returns MIL scores [B, P, C] (padded rows are exactly 0)."""
         if self.context:
             roi, frame, ctx = x[0], x[1], x[2]
-            c_logits = nn.Dense(self.num_classes, name="cls")(roi)
-            det = nn.Dense(self.num_classes, name="det")
+            c_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cls")(roi)
+            det = nn.Dense(self.num_classes, dtype=self.dtype, name="det")
             d_logits = det(frame) - det(ctx)
         else:
-            c_logits = nn.Dense(self.num_classes, name="cls")(x)
-            d_logits = nn.Dense(self.num_classes, name="det")(x)
+            c_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cls")(x)
+            d_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="det")(x)
 
         if self.num_classes == 1:
             # reference appends a zero column before the softmaxes
@@ -120,6 +121,7 @@ class InstanceRefinementOutputLayers(nn.Module):
     norm_weight: bool = True
     norm_temperature: float = 50.0
     random_weight: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -137,6 +139,7 @@ class InstanceRefinementOutputLayers(nn.Module):
             norm_weight=self.norm_weight,
             norm_temperature=self.norm_temperature,
             random_weight=self.random_weight,
+            dtype=self.dtype,
             name="cls",
         )(x, classifier=classifier, append_background=append_background, embeddings=embeddings)
         if self.refine_reg:
@@ -200,11 +203,23 @@ class InstanceRefinementOutputLayers(nn.Module):
             )
         else:
             l1 = diff
-        if self.box_reg_loss_type == "smooth_l1_weighted":
-            l1 = l1 * weights[..., None]
-        elif self.box_reg_loss_type != "smooth_l1":
-            raise NotImplementedError(self.box_reg_loss_type)
-        loss_reg = jnp.sum(l1 * fg_f[..., None])
+        if self.box_reg_loss_type in ("giou", "diou", "ciou"):
+            # decode predicted boxes and penalise 1 - gIoU on foreground rows
+            # (reference supports giou/diou/ciou; giou implemented, the d/c
+            # variants fall back to giou)
+            from ..structures.boxes import giou as _giou
+
+            pred_boxes = apply_deltas(
+                deltas.astype(jnp.float32), proposal_boxes, weights=self.bbox_reg_weights
+            )
+            g = 1.0 - _giou(pred_boxes, gt_boxes)
+            loss_reg = jnp.sum(g * fg_f)
+        else:
+            if self.box_reg_loss_type == "smooth_l1_weighted":
+                l1 = l1 * weights[..., None]
+            elif self.box_reg_loss_type != "smooth_l1":
+                raise NotImplementedError(self.box_reg_loss_type)
+            loss_reg = jnp.sum(l1 * fg_f[..., None])
         # normalized by total rows R per image batch (reference divides by
         # gt_classes.numel(), the flattened count across the batch)
         total = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)

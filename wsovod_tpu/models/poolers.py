@@ -149,14 +149,12 @@ class ROIPooler:
 
         if n_levels == 1:
             pool = lambda f, bx: self._pool_one_level(f, bx, self.scales[0])
-            if self._on_tpu() and self.pooler_type in ("ROIPool", "ROILoopPool"):
-                # pallas_call + scalar prefetch: loop the (static) batch dim
-                pooled = [pool(features[0][i], boxes[i]) for i in range(b)]
-                out = jnp.stack(pooled, axis=1 if self.triple else 0)
-            else:
-                out = jax.vmap(pool, in_axes=(0, 0), out_axes=1 if self.triple else 0)(
-                    features[0], boxes
-                )
+            # static batch loop, not vmap: batched gathers lower ~1.6x slower
+            # on TPU and pallas_call + scalar prefetch does not batch at all.
+            # (XLA may merge roi_align's per-sample gathers into one
+            # [N, P*S, P*S, C] temp per image — acceptable at resolution 7.)
+            pooled = [pool(features[0][i], boxes[i]) for i in range(b)]
+            out = jnp.stack(pooled, axis=1 if self.triple else 0)
             return self._mask_invalid(out, valid)
 
         # multi-level: pool every level, select by assigned level

@@ -91,17 +91,19 @@ class WSOVODROIHeads(nn.Module):
     test_score_thresh: float = 1e-5
     test_nms_thresh: float = 0.3
     test_topk_per_image: int = 100
-    test_per_class_topk: int = 256
+    test_per_class_topk: int = 128
     rpn_on: bool = True
     mrrp_on: bool = False
     mrrp_num_branch: int = 3
     cls_agnostic_bbox_known: bool = False
+    dtype: str | None = None
 
     def setup(self):
         self.box_head = DiscriminativeAdaptationNeck(
             conv_dims=tuple(self.dan_conv_dims),
             fc_dims=tuple(self.dan_fc_dims),
             conv_norm=self.dan_conv_norm,
+            dtype=self.dtype,
             name=None,
         )
         self.object_miner = ObjectMiningOutputLayers(
@@ -109,6 +111,7 @@ class WSOVODROIHeads(nn.Module):
             mean_loss=self.object_mining_mean_loss,
             loss_weight=self.object_mining_weight,
             context=self.pooler.triple,
+            dtype=self.dtype,
         )
         self.box_refinery = [
             InstanceRefinementOutputLayers(
@@ -126,6 +129,7 @@ class WSOVODROIHeads(nn.Module):
                 norm_weight=self.ov_norm_weight,
                 norm_temperature=self.ov_norm_temp,
                 random_weight=self.ov_random_weight,
+                dtype=self.dtype,
                 name=f"box_refinery_{k}",
             )
             for k in range(self.refine_k)
@@ -352,4 +356,5 @@ def build_roi_heads(cfg, pooler: ROIPooler) -> WSOVODROIHeads:
         mrrp_on=cfg.MODEL.MRRP.MRRP_ON,
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         cls_agnostic_bbox_known=ws.CLS_AGNOSTIC_BBOX_KNOWN,
+        dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
     )

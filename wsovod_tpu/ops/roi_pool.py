@@ -232,8 +232,12 @@ def roi_align(
     """
     n = rois.shape[0]
     if n > roi_chunk:
-        # static chunk loop (NOT lax.map: under an outer vmap a mapped scan
-        # can stack per-chunk gather intermediates into one giant buffer)
+        # Chunked gathers bound the bilinear intermediates. NOTE: this path
+        # is deliberately a python loop and the POOLER vmaps over the batch:
+        # the batched gather form prevents XLA from re-merging the per-sample
+        # gathers of all chunks into one [N, P*S, P*S, C] buffer (observed
+        # 3.8+ GB when unbatched — the chunk structure alone does not stop
+        # the gather merger, even through scan or optimization_barrier).
         pad = (-n) % roi_chunk
         rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
         outs = [

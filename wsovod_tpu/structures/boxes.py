@@ -234,3 +234,18 @@ def expand_boxes(boxes: jnp.ndarray, ratio: float) -> jnp.ndarray:
     c = box_centers(boxes)
     half_wh = (boxes[..., 2:4] - boxes[..., 0:2]) * 0.5 * ratio
     return jnp.concatenate([c - half_wh, c + half_wh], axis=-1)
+
+
+def giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Element-wise generalized IoU of matched pairs [..., 4] -> [...]."""
+    iou = matched_pairwise_iou(boxes1, boxes2)
+    lt = jnp.minimum(boxes1[..., 0:2], boxes2[..., 0:2])
+    rb = jnp.maximum(boxes1[..., 2:4], boxes2[..., 2:4])
+    wh = jnp.maximum(rb - lt, 0.0)
+    enclose = wh[..., 0] * wh[..., 1]
+    inter_lt = jnp.maximum(boxes1[..., 0:2], boxes2[..., 0:2])
+    inter_rb = jnp.minimum(boxes1[..., 2:4], boxes2[..., 2:4])
+    inter_wh = jnp.maximum(inter_rb - inter_lt, 0.0)
+    inter = inter_wh[..., 0] * inter_wh[..., 1]
+    union = box_area(boxes1) + box_area(boxes2) - inter
+    return iou - jnp.where(enclose > 0, (enclose - union) / jnp.where(enclose > 0, enclose, 1.0), 0.0)

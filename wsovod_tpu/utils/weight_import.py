@@ -156,11 +156,17 @@ def import_wsovod_model(
     if any(k.startswith("backbone.") for k in blobs):
         model[backbone_key] = import_wsr_resnet(blobs, depth=depth, prefix="backbone.")
 
-    # DAN box head: torch roi_heads.box_head.fc{1,2}
+    # DAN box head: torch roi_heads.box_head.fc{1,2}. fc1 is a DenseGeneral
+    # contracting (h, w, c): torch [out, c*h*w] -> kernel (h, w, c, out).
     bh = "roi_heads.box_head."
     if has(bh + "fc1.weight"):
         dan = model["roi_heads"]["box_head"]
-        dan["fc1"]["kernel"] = _fc(blobs[bh + "fc1.weight"], chw=pooled_shape)
+        c, hh, ww = pooled_shape
+        w1 = blobs[bh + "fc1.weight"]  # [out, c*h*w]
+        out_dim = w1.shape[0]
+        dan["fc1"]["kernel"] = (
+            w1.reshape(out_dim, c, hh, ww).transpose(2, 3, 1, 0)
+        )
         dan["fc1"]["bias"] = blobs[bh + "fc1.bias"]
         dan["fc2"]["kernel"] = _fc(blobs[bh + "fc2.weight"])
         dan["fc2"]["bias"] = blobs[bh + "fc2.bias"]
