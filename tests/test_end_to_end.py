@@ -191,3 +191,57 @@ def test_param_group_labels(synth_dataset):
     assert backbone_labels == {"frozen"}
     head_bias = [v for k, v in lab.items() if "box_head" in k and "bias" in k]
     assert set(head_bias) == {"bias"}
+
+
+def test_mixed_datasets_model_two_sources():
+    """Mixed-dataset meta-arch: one compiled program per dataset_id, shared
+    refineries, per-family miners, per-dataset class counts."""
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN_WSOVOD_MixedDatasets"
+    cfg.DATASETS.MIXED_DATASETS.NAMES = ["voc_x", "coco_x"]
+    cfg.DATASETS.MIXED_DATASETS.NUM_CLASSES = [3, 5]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 8
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [32, 32]
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 8
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+
+    from wsovod_tpu.models import build_model
+
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    boxes = rng.uniform(0, 40, (1, 8, 2))
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 255, (1, 64, 64, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+        "sam_boxes": jnp.asarray(
+            np.concatenate([boxes, boxes + 15], -1).astype(np.float32)
+        ),
+        "sam_scores": jnp.asarray(rng.uniform(0.5, 1, (1, 8)).astype(np.float32)),
+        "sam_valid": jnp.ones((1, 8), bool),
+        "gt_classes": jnp.asarray([[0, 1]]),
+        "gt_valid": jnp.ones((1, 2), bool),
+    }
+    emb_voc = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    emb_coco = jnp.asarray(rng.randn(5, 8).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True, iteration=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(2), embeddings=emb_voc, source_id=0,
+    )
+    # both miners exist
+    miners = [k for k in params["params"]["roi_heads"] if k.startswith("object_miner")]
+    assert len(miners) == 2
+
+    for sid, emb in [(0, emb_voc), (1, emb_coco)]:
+        losses = model.apply(
+            params, batch, train=True, iteration=jnp.asarray(0, jnp.int32),
+            rng=jax.random.PRNGKey(3), embeddings=emb, source_id=sid,
+            rngs={"dropout": jax.random.PRNGKey(4)},
+        )
+        assert np.isfinite(float(sum(jnp.asarray(v) for v in losses.values())))

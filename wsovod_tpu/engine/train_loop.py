@@ -45,8 +45,13 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     loss_scale: float = 1.0,
+    **apply_kwargs,
 ) -> Callable:
-    """Returns jitted ``(state, batch, embeddings) -> (state, metrics)``."""
+    """Returns jitted ``(state, batch, embeddings) -> (state, metrics)``.
+
+    ``apply_kwargs`` are static extras forwarded to ``model.apply`` (e.g.
+    ``source_id`` for the mixed-datasets meta-arch — one compiled step per
+    dataset)."""
 
     def step_fn(state: TrainState, batch: Dict, embeddings):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -61,6 +66,7 @@ def make_train_step(
                 rng=model_rng,
                 embeddings=embeddings,
                 rngs={"dropout": dropout_rng},
+                **apply_kwargs,
             )
             total = sum(jnp.asarray(v) for v in losses.values()) * loss_scale
             return total, losses

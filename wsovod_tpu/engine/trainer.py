@@ -50,11 +50,9 @@ class WSOVODTrainer:
         self.cfg = cfg
         self.model = build_model(cfg)
         self.mesh = create_mesh(tuple(cfg.TPU.MESH_SHAPE), tuple(cfg.TPU.MESH_AXES))
-        self.loader = build_detection_train_loader(cfg)
+        self.loader = self._build_loader(cfg)
 
-        emb = load_class_embeddings(
-            cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN
-        )
+        emb = self._load_train_embeddings(cfg)
         self.embeddings = jnp.asarray(emb) if emb is not None else None
 
         batch = next(self.loader)
@@ -101,6 +99,17 @@ class WSOVODTrainer:
             pass
         self._first_batch = batch
 
+    def _build_loader(self, cfg):
+        return build_detection_train_loader(cfg)
+
+    def _load_train_embeddings(self, cfg):
+        return load_class_embeddings(
+            cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN
+        )
+
+    def _run_step(self, state, device_batch, emb, host_batch):
+        return self.step_fn(state, device_batch, emb)
+
     @staticmethod
     def _device_batch(batch):
         keys = (
@@ -135,7 +144,7 @@ class WSOVODTrainer:
             device_batch = shard_batch(self._device_batch(batch), self.mesh)
             data_time = time.perf_counter() - data_t0
             with self.mesh:
-                state, metrics = self.step_fn(state, device_batch, emb)
+                state, metrics = self._run_step(state, device_batch, emb, batch)
             # fetch next batch while the step runs (async dispatch)
             batch = next(self.loader)
             data_t0 = time.perf_counter()
@@ -201,16 +210,32 @@ class WSOVODTrainer:
 
 class WSOVODTrainer_MixedDatasets(WSOVODTrainer):
     """Multi-dataset variant (reference ``trainer.py:210-412``): homogeneous
-    per-dataset batches, per-dataset classifiers. Data layer lands with
-    ``build_multi_dataset``; this subclass keys the loader and classifier
-    selection off ``dataset_id``."""
+    per-dataset batches select a per-dataset compiled step (static
+    ``source_id``) and the dataset's own CLIP classifier."""
 
-    def __init__(self, cfg):
-        from ..data.loader_multi_dataset import build_multi_dataset_train_loader
-
-        super().__init__(cfg)
-        self.loader = build_multi_dataset_train_loader(cfg)
+    def _load_train_embeddings(self, cfg):
         self.embeddings_list = [
             jnp.asarray(load_class_embeddings(p))
             for p in cfg.DATASETS.MIXED_DATASETS.WEIGHT_PATH_TRAINS
         ]
+        return self.embeddings_list[0]
+
+    def _build_loader(self, cfg):
+        from ..data.loader_multi_dataset import build_multi_dataset_train_loader
+
+        return build_multi_dataset_train_loader(cfg)
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        from .train_loop import make_train_step as _mts
+
+        self._step_fns = {
+            sid: _mts(self.model, self.tx, mesh=self.mesh, source_id=sid)
+            for sid in range(len(self.embeddings_list))
+        }
+
+    def _run_step(self, state, device_batch, emb, host_batch):
+        # homogeneous batch: every record shares dataset_id (reference
+        # ``engine/trainer.py:253-255`` asserts this)
+        sid = int(np.asarray(host_batch["dataset_id"]).reshape(-1)[0])
+        return self._step_fns[sid](state, device_batch, self.embeddings_list[sid])

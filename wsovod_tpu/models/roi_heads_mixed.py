@@ -41,15 +41,16 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
     def setup(self):
         super().setup()
         families = []
-        self._miner_index = []
+        miner_index = []
         for n in self.dataset_names:
             fam = dataset_family(n)
             if fam not in families:
                 families.append(fam)
-            self._miner_index.append(families.index(fam))
+            miner_index.append(families.index(fam))
+        self._miner_index = tuple(miner_index)
         fam_classes = {}
         for i, n in enumerate(self.dataset_names):
-            fam_classes.setdefault(self._miner_index[i], self.num_classes_list[i])
+            fam_classes.setdefault(miner_index[i], self.num_classes_list[i])
         self.object_miners = [
             ObjectMiningOutputLayers(
                 num_classes=fam_classes[fi],
@@ -88,6 +89,12 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
         roi_feats, miner_feats = self._pooled_box_features(
             features, proposals, data_aware_features, train=True
         )
+
+        if self.is_initializing():
+            # touch every per-dataset miner so init creates all their params
+            # (apply() later selects one statically per compiled program)
+            for m in self.object_miners:
+                _ = m(miner_feats, proposals.valid)
 
         mil_scores = miner(miner_feats, proposals.valid)
         losses = dict(miner.losses(mil_scores, oh))
