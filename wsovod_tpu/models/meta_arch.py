@@ -44,6 +44,11 @@ class GeneralizedRCNN_WSOVOD(nn.Module):
     proposal_pad: int = 4096  # SAM proposals per image after padding
     compute_dtype: str = "float32"
     in_feature: str = "res5"
+    # FREEZE_AT >= 5 freezes the whole backbone in every shipped config;
+    # stop_gradient here lets XLA drop the entire backbone backward pass
+    # (the optimizer already zeroes those updates — this saves the compute
+    # and activation memory too).
+    freeze_backbone: bool = False
 
     def _normalize(self, images: jnp.ndarray) -> jnp.ndarray:
         mean = jnp.asarray(self.pixel_mean, images.dtype)
@@ -114,6 +119,8 @@ class GeneralizedRCNN_WSOVOD(nn.Module):
     ):
         images = self._normalize(batch["images"])
         features = self.backbone(images, train=train)
+        if self.freeze_backbone and train:
+            features = jax.tree_util.tree_map(jax.lax.stop_gradient, features)
 
         if rng is not None:
             rng, rng_sam, rng_roi = jax.random.split(rng, 3)
@@ -191,6 +198,8 @@ class GeneralizedRCNN_WSOVOD_MixedDatasets(GeneralizedRCNN_WSOVOD):
     ):
         images = self._normalize(batch["images"])
         features = self.backbone(images, train=train)
+        if self.freeze_backbone and train:
+            features = jax.tree_util.tree_map(jax.lax.stop_gradient, features)
         if rng is not None:
             rng, rng_sam, rng_roi = jax.random.split(rng, 3)
         else:
@@ -298,4 +307,5 @@ def build_model(cfg):
         proposal_pad=cfg.TPU.PROPOSAL_PAD,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         in_feature=cfg.MODEL.ROI_HEADS.IN_FEATURES[0],
+        freeze_backbone=cfg.MODEL.BACKBONE.FREEZE_AT >= 5,
     )
