@@ -78,18 +78,28 @@ def main(args):
         # init with a synthetic batch matching the eval pipeline shapes
         import numpy as np
 
-        size = ((cfg.INPUT.MIN_SIZE_TEST + 31) // 32) * 32
+        # init in TRAIN mode on tiny shapes so the full param set exists
+        # (the inference path never calls the object miner, and a template
+        # missing its params cannot restore a training checkpoint)
+        size = 64
+        p = 16
         batch = {
             "images": jnp.zeros((1, size, size, 3), jnp.float32),
             "image_sizes": jnp.asarray([[size, size]], jnp.int32),
-            "sam_boxes": jnp.zeros((1, cfg.TPU.PROPOSAL_PAD, 4), jnp.float32),
-            "sam_scores": jnp.zeros((1, cfg.TPU.PROPOSAL_PAD), jnp.float32),
-            "sam_valid": jnp.zeros((1, cfg.TPU.PROPOSAL_PAD), bool),
+            "sam_boxes": jnp.tile(
+                jnp.asarray([[[4.0, 4.0, 40.0, 40.0]]], jnp.float32), (1, p, 1)
+            ),
+            "sam_scores": jnp.full((1, p), 0.9, jnp.float32),
+            "sam_valid": jnp.ones((1, p), bool),
+            "gt_classes": jnp.zeros((1, 4), jnp.int32),
+            "gt_valid": jnp.ones((1, 4), bool),
         }
         variables = model.init(
-            {"params": jax.random.PRNGKey(0)},
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
             batch,
-            train=False,
+            train=True,
+            iteration=jnp.asarray(0, jnp.int32),
+            rng=jax.random.PRNGKey(2),
             embeddings=jnp.asarray(emb) if emb is not None else None,
         )
         tx = build_optimizer(cfg, variables["params"])

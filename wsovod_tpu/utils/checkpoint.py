@@ -30,6 +30,9 @@ class Checkpointer:
     def save(self, name: str, state: Any):
         path = self._path(name)
         self._ckptr.save(path, state, force=True)
+        # StandardCheckpointer saves asynchronously; block so the marker file
+        # never points at a half-written checkpoint (and process exit is safe)
+        self._ckptr.wait_until_finished()
         with open(os.path.join(self.directory, "last_checkpoint"), "w") as f:
             f.write(name)
         logger.info("saved checkpoint %s", path)
