@@ -43,3 +43,16 @@ def test_roi_loop_pool_kernel_matches_reference():
         feat, rois, 7, 0.5, c_tile=4, roi_block=2, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_roi_align_kernel_matches_reference():
+    from wsovod_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
+    from wsovod_tpu.ops.roi_pool import roi_align
+
+    feat, rois = _feat_rois(seed=5, h=24, w=28, c=8, n=8)
+    ref = roi_align(feat, rois, 7, 0.5, sampling_ratio=2, aligned=True)
+    out = roi_align_pallas(
+        feat, rois, 7, 0.5, sampling_ratio=2, win=24, c_tile=8, roi_block=4,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -52,6 +52,7 @@ class ROIPooler:
         mrrp_num_branch: int = 1,
         canonical_box_size: float = 224.0,
         canonical_level: int = 4,
+        roi_align_kernel: str = "gather",
     ):
         self.output_size = output_size
         self.scales = list(scales)
@@ -61,6 +62,7 @@ class ROIPooler:
         self.mrrp_num_branch = mrrp_num_branch
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
+        self.roi_align_kernel = roi_align_kernel
 
     @property
     def triple(self) -> bool:
@@ -90,6 +92,18 @@ class ROIPooler:
                 return roi_loop_pool_pallas(feat, boxes, self.output_size, scale)
             return roi_loop_pool(feat, boxes, self.output_size, scale)
         if self.pooler_type in ("ROIAlign", "ROIAlignV2"):
+            if (
+                self.roi_align_kernel == "pallas"
+                and self._on_tpu()
+                and feat.shape[-1] % 128 == 0
+                and self.pooler_type == "ROIAlignV2"
+            ):
+                from ..ops.pallas.roi_align_kernel import roi_align_pallas
+
+                return roi_align_pallas(
+                    feat, boxes, self.output_size, scale,
+                    sampling_ratio=self.sampling_ratio,
+                )
             return roi_align(
                 feat,
                 boxes,
@@ -194,4 +208,5 @@ def build_pooler(cfg, strides: Sequence[int]) -> ROIPooler:
         pooler_type=cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE,
         mrrp_on=cfg.MODEL.MRRP.MRRP_ON,
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
+        roi_align_kernel=cfg.TPU.ROI_ALIGN_KERNEL,
     )
