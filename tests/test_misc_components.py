@@ -147,3 +147,38 @@ def test_wsovod_rpn_anchor_free():
     assert set(losses) == {"loss_rpn_cls", "loss_rpn_bbox", "loss_rpn_obj"}
     for v in losses.values():
         assert np.isfinite(float(v))
+
+
+def test_deform_conv_zero_offsets_match_plain_conv():
+    """With zero-init offsets (and no modulation), DeformConv must equal a
+    plain 3x3 convolution with the same kernel."""
+    import jax.lax as lax
+    from wsovod_tpu.models.backbones.deform import DeformConv
+
+    m = DeformConv(features=6, modulated=False)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 10, 4).astype(np.float32))
+    params = m.init(KEY, x)
+    out = m.apply(params, x)
+    k = np.asarray(params["params"]["kernel"]).reshape(3, 3, 4, 6)
+    ref = lax.conv_general_dilated(
+        x, jnp.asarray(k), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_deform_bottleneck_shapes():
+    from wsovod_tpu.models.backbones.deform import DeformBottleneckBlock
+
+    m = DeformBottleneckBlock(out_channels=16, bottleneck_channels=8, deform_modulated=True)
+    x = jnp.zeros((1, 8, 8, 8))
+    params = m.init(KEY, x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 8, 8, 16)
+
+
+def test_engine_defaults_aliases():
+    from wsovod_tpu.engine import defaults as D
+
+    assert D.DefaultTrainer is D.WSOVODTrainer
+    assert callable(D.default_writers)

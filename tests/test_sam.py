@@ -90,3 +90,69 @@ def test_prompt_encoder_box_embedding():
     assert dense.shape == (1, 4, 4, 32)
     pe_grid = pe.apply(params, method=pe.dense_pe)
     assert pe_grid.shape == (4, 4, 32)
+
+
+def test_sam_refiner_refines_and_falls_back():
+    from wsovod_tpu.models.sam_refine import SAMRefiner, sam_input_from_batch
+
+    ref = SAMRefiner(sam_img_size=64)
+    emb = jax.random.normal(KEY, (4, 4, 256))  # 64/16 = 4 grid
+    boxes = jnp.asarray(np.array([[8, 8, 40, 40], [0, 0, 4, 4]], np.float32))
+    valid = jnp.asarray([True, False])
+    scale = jnp.asarray(1.0)
+    params = ref.init(KEY, emb, boxes, valid, scale)
+    out = ref.apply(params, emb, boxes, valid, scale)
+    assert out.shape == (2, 4)
+    # invalid rows fall back to the input box
+    np.testing.assert_allclose(np.asarray(out[1]), [0, 0, 4, 4], atol=1e-5)
+    assert np.isfinite(np.asarray(out)).all()
+
+    imgs = jnp.zeros((2, 48, 64, 3))
+    x, s = sam_input_from_batch(imgs, sam_img_size=64)
+    assert x.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(s), [1.0, 1.0])
+
+
+def test_roi_heads_with_bbox_refine_smoke():
+    """Train forward with SAM refinement enabled and embeddings supplied."""
+    from wsovod_tpu.models.poolers import ROIPooler
+    from wsovod_tpu.models.roi_heads import WSOVODROIHeads
+
+    pooler = ROIPooler(output_size=7, scales=[1.0 / 8], pooler_type="ROIAlignV2")
+    heads = WSOVODROIHeads(
+        num_classes=3, pooler=pooler, dan_fc_dims=(16, 16), refine_k=1,
+        refine_reg=(True,), ov_weight_dim=8, rpn_on=True,
+        bbox_refine=True, sam_img_size=64,
+    )
+    rng = np.random.RandomState(0)
+    feats = {"res5": jax.random.normal(KEY, (1, 8, 8, 16))}
+    from wsovod_tpu.structures.instances import Instances
+
+    b = rng.uniform(0, 40, (1, 6, 2))
+    proposals = Instances(
+        jnp.ones((1, 6), bool),
+        proposal_boxes=jnp.asarray(np.concatenate([b, b + 15], -1).astype(np.float32)),
+        objectness_logits=jnp.asarray(rng.rand(1, 6).astype(np.float32)),
+        level_ids=jnp.zeros((1, 6), jnp.int32),
+    )
+    emb = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    sam_embed = jax.random.normal(KEY, (1, 4, 4, 256))
+    sam_scale = jnp.ones((1,))
+    gt_classes = jnp.asarray([[0, 1]])
+    gt_valid = jnp.ones((1, 2), bool)
+    params = heads.init(
+        {"params": KEY, "dropout": jax.random.PRNGKey(1)},
+        feats, proposals, gt_classes, gt_valid,
+        embeddings=emb, rng=jax.random.PRNGKey(2),
+        sam_embed=sam_embed, sam_scale=sam_scale,
+    )
+    assert "sam_refiner" in params["params"]
+    out = heads.apply(
+        params, feats, proposals, gt_classes, gt_valid,
+        embeddings=emb, rng=jax.random.PRNGKey(3),
+        sam_embed=sam_embed, sam_scale=sam_scale,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    for v in out.losses.values():
+        assert np.isfinite(float(v))
+    assert out.proposal_targets is not None

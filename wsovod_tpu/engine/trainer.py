@@ -55,6 +55,8 @@ class WSOVODTrainer:
         emb = self._load_train_embeddings(cfg)
         self.embeddings = jnp.asarray(emb) if emb is not None else None
 
+        self._setup_sam_refine(cfg)
+
         batch = next(self.loader)
         device_batch = self._device_batch(batch)
         variables = self.model.init(
@@ -74,6 +76,7 @@ class WSOVODTrainer:
         pooled_c = 512 if depth < 50 else 2048
         if "vgg" in cfg.MODEL.BACKBONE.NAME:
             pooled_c = 512
+        state = self._graft_sam_refiner(state)
         self.state, self.resumed = self.checkpointer.resume_or_load(
             state,
             cfg.MODEL.WEIGHTS,
@@ -110,13 +113,74 @@ class WSOVODTrainer:
     def _run_step(self, state, device_batch, emb, host_batch):
         return self.step_fn(state, device_batch, emb)
 
-    @staticmethod
-    def _device_batch(batch):
+    def _setup_sam_refine(self, cfg):
+        """WSOVOD.BBOX_REFINE: build + import the SAM image encoder; the
+        decoder runs inside the train step (models/sam_refine.py). Disabled
+        with a warning when the checkpoint is absent."""
+        self.sam_encode = None
+        if not cfg.WSOVOD.BBOX_REFINE.ENABLE:
+            return
+        ckpt = cfg.WSOVOD.BBOX_REFINE.MODEL_CHECKPOINT
+        if not os.path.exists(ckpt):
+            logger.warning(
+                "BBOX_REFINE enabled but SAM checkpoint %s not found; "
+                "pseudo-GT refinement disabled", ckpt,
+            )
+            return
+        from ..models.sam_refine import sam_input_from_batch
+        from ..offline.sam.modeling import SAMImageEncoder, SAM_CONFIGS
+        from ..offline.sam.weights import import_sam_weights, load_sam_checkpoint
+
+        blobs = load_sam_checkpoint(ckpt)
+        sam_params = import_sam_weights(blobs)
+        mt = cfg.WSOVOD.BBOX_REFINE.MODEL_TYPE
+        c = SAM_CONFIGS[mt]
+        encoder = SAMImageEncoder(
+            embed_dim=c["embed_dim"], depth=c["depth"], num_heads=c["num_heads"],
+            global_attn_indexes=c["global_attn_indexes"],
+        )
+        enc_params = {"params": sam_params["params"]["image_encoder"]}
+        self._sam_refiner_params = {
+            "prompt_encoder": sam_params["params"]["prompt_encoder"],
+            "mask_decoder": sam_params["params"]["mask_decoder"],
+        }
+
+        @jax.jit
+        def encode(images):
+            x, scale = sam_input_from_batch(images)
+            return encoder.apply(enc_params, x), scale
+
+        self.sam_encode = encode
+
+    def _graft_sam_refiner(self, state):
+        """Replace the randomly initialized refiner params with the imported
+        SAM prompt-encoder/mask-decoder weights."""
+        if self.sam_encode is None:
+            return state
+        params = state.params["params"] if "params" in state.params else state.params
+        rh = params.get("roi_heads", {})
+        if "sam_refiner" in rh:
+            rh = dict(rh)
+            rh["sam_refiner"] = jax.tree_util.tree_map(
+                jnp.asarray, self._sam_refiner_params
+            )
+            params = dict(params)
+            params["roi_heads"] = rh
+            new = dict(state.params)
+            new["params"] = params
+            state = state.replace(params=new)
+            logger.info("grafted SAM refiner weights from checkpoint")
+        return state
+
+    def _device_batch(self, batch):
         keys = (
             "images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid",
             "gt_classes", "gt_valid",
         )
-        return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+        out = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+        if self.sam_encode is not None:
+            out["sam_embed"], out["sam_scale"] = self.sam_encode(out["images"])
+        return out
 
     def train(self):
         cfg = self.cfg

@@ -97,6 +97,9 @@ class WSOVODROIHeads(nn.Module):
     mrrp_num_branch: int = 3
     cls_agnostic_bbox_known: bool = False
     dtype: str | None = None
+    # WSOVOD.BBOX_REFINE: SAM box-prompted refinement of mined pseudo GT
+    bbox_refine: bool = False
+    sam_img_size: int = 1024
 
     def setup(self):
         self.box_head = DiscriminativeAdaptationNeck(
@@ -134,6 +137,26 @@ class WSOVODROIHeads(nn.Module):
             )
             for k in range(self.refine_k)
         ]
+        if self.bbox_refine:
+            from .sam_refine import SAMRefiner
+
+            self.sam_refiner = SAMRefiner(sam_img_size=self.sam_img_size)
+
+    def _sam_refine(self, pgt, sam_embed, sam_scale):
+        """Refine mined boxes with SAM (reference roi_heads.py:1215-1284);
+        static python loop over the (small) batch dim."""
+        if not self.bbox_refine or sam_embed is None:
+            return pgt
+        refined = []
+        for b in range(pgt.boxes.shape[0]):
+            refined.append(
+                self.sam_refiner(
+                    sam_embed[b], pgt.boxes[b], pgt.valid[b], sam_scale[b]
+                )
+            )
+        boxes = jnp.stack(refined)
+        boxes = jax.lax.stop_gradient(boxes)
+        return pgt._replace(boxes=jnp.where(pgt.valid[..., None], boxes, 0.0))
 
     # ------------------------------------------------------------ features
     def _pooled_box_features(
@@ -182,6 +205,8 @@ class WSOVODROIHeads(nn.Module):
         append_background: bool = True,
         rng: Optional[jax.Array] = None,
         num_classes_override: Optional[int] = None,
+        sam_embed: Optional[jnp.ndarray] = None,  # [B, Gh, Gw, 256]
+        sam_scale: Optional[jnp.ndarray] = None,  # [B]
     ) -> ROIHeadsOutput:
         num_classes = num_classes_override or self.num_classes
         oh, _, present = jax.vmap(
@@ -219,6 +244,10 @@ class WSOVODROIHeads(nn.Module):
                 present,
                 jax.lax.stop_gradient(img_logits),
             )
+            # SAM refinement on box-supervised stages (reference passes
+            # sam=self.sam iff refine_reg[k], roi_heads.py:795-808)
+            if k < len(self.refine_reg) and self.refine_reg[k]:
+                mine = self._sam_refine(mine, sam_embed, sam_scale)
             last_pgt = mine
 
             stage = min(k, len(self.sampling_iou_thresholds) - 1)
@@ -276,6 +305,9 @@ class WSOVODROIHeads(nn.Module):
                 present,
                 jax.lax.stop_gradient(img_logits),
             )
+            # reference always refines the RPN pseudo targets with SAM
+            # (roi_heads.py:872-881, sam=self.sam)
+            proposal_targets = self._sam_refine(proposal_targets, sam_embed, sam_scale)
 
         return ROIHeadsOutput(losses, proposal_targets, img_logits)
 
@@ -357,4 +389,5 @@ def build_roi_heads(cfg, pooler: ROIPooler) -> WSOVODROIHeads:
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         cls_agnostic_bbox_known=ws.CLS_AGNOSTIC_BBOX_KNOWN,
         dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
+        bbox_refine=ws.BBOX_REFINE.ENABLE,
     )

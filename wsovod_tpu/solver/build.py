@@ -35,7 +35,7 @@ def param_labels(params: Dict[str, Any], freeze_at: int) -> Dict[str, Any]:
 
     def label(key_path, _):
         path = jax.tree_util.keystr(key_path)
-        if "FrozenBatchNorm" in path:
+        if "FrozenBatchNorm" in path or "sam_refiner" in path:
             return "frozen"
         if "backbone" in path and "rpn" not in path:
             if _stage_of_backbone_param(path) <= freeze_at:
