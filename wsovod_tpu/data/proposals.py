@@ -27,6 +27,26 @@ def load_proposal_file(path: str) -> Dict:
 
 
 def load_proposals_into_dataset(dataset_dicts: List[dict], proposal_file: str) -> List[dict]:
+    if os.path.isdir(proposal_file):
+        # dir-of-pkl mode (reference build.py:144-173): one pickle per image,
+        # keyed by image_id filename
+        out = []
+        for record in dataset_dicts:
+            per = os.path.join(proposal_file, f"{record['image_id']}.pkl")
+            if not os.path.exists(per):
+                continue
+            with open(per, "rb") as f:
+                d = pickle.load(f, encoding="latin1")
+            record = dict(record)
+            boxes = np.asarray(d["boxes"], dtype=np.float32).reshape(-1, 4)
+            logits = np.asarray(
+                d.get("objectness_logits", d.get("scores")), dtype=np.float32
+            ).reshape(-1)
+            order = np.argsort(-logits)
+            record["proposal_boxes"] = boxes[order]
+            record["proposal_objectness_logits"] = logits[order]
+            out.append(record)
+        return out
     data = load_proposal_file(proposal_file)
     id_to_idx = {str(i): k for k, i in enumerate(data["ids"])}
     out = []

@@ -93,12 +93,31 @@ def find_top_rpn_proposals_group(
     pre_nms_topk: int,
     post_nms_topk: int,
     min_box_size: float,
+    cpgs: jnp.ndarray | None = None,  # [B, C, H, W] class heatmaps
+    cpg_labels: jnp.ndarray | None = None,  # [B, C]
+    cpg_preds: jnp.ndarray | None = None,  # [B, C]
 ) -> Instances:
     """MRRP variant: top-k per (level, anchor) group; group id = level*1000+a.
 
     Each level tensor is laid out position-major with A anchors minor, so
-    anchor a occupies indices ``a::A``.
+    anchor a occupies indices ``a::A``. When ``cpgs`` is given, objectness is
+    rescored with CSC contrast weights before selection (the reference keeps
+    this hook dormant — no call site passes cpgs,
+    ``proposal_utils.py:272-302``).
     """
+    if cpgs is not None:
+        from ..ops.csc import csc
+
+        def rescore(logits_l, boxes_l):
+            def one(b_logits, b_boxes, b_cpg, b_lab, b_pred):
+                w = csc(b_cpg, b_lab, b_pred, b_boxes)  # [P, C]
+                return b_logits * jnp.max(jnp.maximum(w, 0.0), axis=-1)
+
+            return jax.vmap(one)(logits_l, boxes_l, cpgs, cpg_labels, cpg_preds)
+
+        objectness_logits = [
+            rescore(l, b) for l, b in zip(objectness_logits, proposals)
+        ]
     grp_boxes, grp_logits, grp_ids = [], [], []
     for lvl, (boxes_l, logits_l) in enumerate(zip(proposals, objectness_logits)):
         b, n, _ = boxes_l.shape
