@@ -79,6 +79,7 @@ def _cfg(name, prop_path):
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 2
     cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 1e-5
     cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
     cfg.MODEL.BACKBONE.FREEZE_AT = 0
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 32
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 32
@@ -202,6 +203,7 @@ def test_mixed_datasets_model_two_sources():
     cfg.DATASETS.MIXED_DATASETS.NUM_CLASSES = [3, 5]
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
     cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 16
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 8
     cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8

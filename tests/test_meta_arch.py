@@ -138,3 +138,29 @@ def test_inference_classifier_swap(model_and_params):
         params, batch, train=False, classifier=swap
     )
     assert all_scores.shape[-1] == 10  # 9 + bg
+
+
+def test_mrrp_model_train_and_inference():
+    """MRRP path end-to-end: branch-concat backbone, group proposal selection,
+    branch-routed ROILoopPool, ContextLocNet miner."""
+    cfg = tiny_cfg(mrrp=True)  # 3 branches, dilations [1,2,4], ROILoopPool
+    from wsovod_tpu.models import build_model
+
+    model = build_model(cfg)
+    assert model.roi_heads.pooler.triple  # ROILoopPool from the MRRP config
+    batch = tiny_batch(b=1, s=6)
+    emb = jnp.asarray(np.random.RandomState(1).randn(5, 16).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True, iteration=jnp.asarray(10, jnp.int32),
+        rng=jax.random.PRNGKey(2), embeddings=emb,
+    )
+    losses = model.apply(
+        params, batch, train=True, iteration=jnp.asarray(10, jnp.int32),
+        rng=jax.random.PRNGKey(3), embeddings=emb,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    det, all_scores, _ = model.apply(params, batch, train=False, embeddings=emb)
+    assert np.isfinite(np.asarray(det.scores)[np.asarray(det.valid)]).all()

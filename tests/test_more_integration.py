@@ -138,6 +138,7 @@ def test_tta_driver_smoke(two_datasets, tmp_path):
     cfg.MODEL.LOAD_PROPOSALS = True
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 2
     cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 16
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 4
     cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [16, 16]

@@ -209,6 +209,11 @@ class WSRResNet(nn.Module):
 
 def build_wsl_resnet_backbone(cfg) -> WSRResNet:
     """Config-driven builder (reference ``resnet_wsl.py:623-707``)."""
+    if cfg.MODEL.RESNETS.DEPTH in (18, 34):
+        assert cfg.MODEL.RESNETS.RES2_OUT_CHANNELS == 64, (
+            "Set MODEL.RESNETS.RES2_OUT_CHANNELS = 64 for R18/R34 "
+            f"(got {cfg.MODEL.RESNETS.RES2_OUT_CHANNELS})"
+        )
     mrrp = cfg.MODEL.MRRP
     return WSRResNet(
         depth=cfg.MODEL.RESNETS.DEPTH,
