@@ -11,13 +11,12 @@ stacked numpy arrays ready for ``jax.device_put``.
 
 from __future__ import annotations
 
-import itertools
 from collections import defaultdict
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .catalog import DatasetCatalog, MetadataCatalog
+from .catalog import DatasetCatalog
 from .dataset_mapper import DatasetMapper
 from .proposals import load_proposals_into_dataset
 

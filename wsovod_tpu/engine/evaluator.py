@@ -136,12 +136,7 @@ def test_with_TTA_WSL(cfg, model, params, embeddings=None, classifier=None):
     from ..data.dataset_mapper import default_image_buckets, read_image_bgr
     from ..data.loader import get_detection_dataset_dicts
     from ..data.proposals import load_proposals_into_dataset
-    from ..models.tta import (
-        make_tta_inputs,
-        inverse_transform_boxes,
-        tta_avg_merge,
-        tta_union_merge,
-    )
+    from ..models.tta import make_tta_inputs, tta_avg_merge, tta_union_merge
 
     mode = (
         "avg"

@@ -12,7 +12,6 @@ is ``optax.MultiSteps`` inside the optimizer.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Callable, Dict, Optional
 
 import jax

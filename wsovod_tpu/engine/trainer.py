@@ -27,7 +27,7 @@ from ..parallel.mesh import create_mesh, replicate, shard_batch
 from ..solver.build import auto_scale_workers, build_optimizer
 from ..utils.checkpoint import Checkpointer
 from ..utils.events import CommonMetricPrinter, EventStorage, JSONWriter, TensorboardWriter
-from .train_loop import TrainState, create_train_state, make_train_step
+from .train_loop import create_train_state, make_train_step
 
 logger = logging.getLogger(__name__)
 

@@ -23,7 +23,7 @@ Weight import from DRN-WSOD d2 pickles is in ``wsovod_tpu/utils/weight_import``.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ window multiples with masked attention on padding.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

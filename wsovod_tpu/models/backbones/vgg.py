@@ -13,7 +13,7 @@ multi-dilation branches, concatenated along the batch axis.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

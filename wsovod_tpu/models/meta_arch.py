@@ -20,7 +20,7 @@ random branches via random ``level_ids`` (reference :185-204).
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

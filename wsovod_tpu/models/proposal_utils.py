@@ -17,7 +17,7 @@ Dynamic keep-lists become fixed-capacity tables + validity masks.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ covers mining and labeling.
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .mil_heads import InstanceRefinementOutputLayers, ObjectMiningOutputLayers
+from .mil_heads import ObjectMiningOutputLayers
 from .roi_heads import ROIHeadsOutput, WSOVODROIHeads
 
 
@@ -75,8 +75,7 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
         append_background: bool = True,
         rng: Optional[jax.Array] = None,
     ) -> ROIHeadsOutput:
-        from .mining import get_image_level_gt, pgt_mist, pgt_top_k
-        from .mining import LabeledProposals, label_and_sample_wsl
+        from .mining import get_image_level_gt, label_and_sample_wsl, pgt_mist, pgt_top_k
         from ..ops.matcher import Matcher
 
         num_classes = self.num_classes_list[source_id]

@@ -23,12 +23,11 @@ both normalized by ``batch_size_per_image * num_images``.
 
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, NamedTuple, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.matcher import Matcher
 from ..ops.sampling import subsample_labels
@@ -40,7 +39,7 @@ from ..structures.boxes import (
     pairwise_iou,
 )
 from ..structures.instances import Instances
-from .anchors import AnchorGenerator, build_anchor_generator
+from .anchors import AnchorGenerator
 from .class_heads import l2_normalize
 from .proposal_utils import find_top_rpn_proposals, find_top_rpn_proposals_group
 

@@ -12,7 +12,6 @@ on-TPU and only [N, 4] boxes + scores come back.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Tuple
 
 import jax

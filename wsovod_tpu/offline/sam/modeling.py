@@ -19,8 +19,7 @@ Weights import from the official ``sam_vit_{b,l,h}_*.pth`` checkpoints via
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ path for bbox purposes), so it stays on device.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
