@@ -56,3 +56,30 @@ def test_roi_align_kernel_matches_reference():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_exact_kernel_fuzz():
+    """Exact multi-pass kernel == gather roi_align for every ROI size,
+    including right/bottom-edge boxes and an unaligned feature width."""
+    from wsovod_tpu.ops.pallas.roi_align_kernel import roi_align_pallas_exact
+    from wsovod_tpu.ops.roi_pool import roi_align
+
+    rng = np.random.RandomState(3)
+    feat = jnp.asarray(rng.randn(61, 100, 256).astype(np.float32))
+    n = 48
+    r = rng.rand(n, 4)
+    cx, cy = r[:, 0] * 800, r[:, 1] * 488
+    sz = rng.choice([15, 50, 120, 300, 700], n)
+    w2, h2 = sz * (0.5 + r[:, 2]), sz * (0.5 + r[:, 3])
+    rois = np.stack(
+        [np.clip(cx - w2, 0, 799.9), np.clip(cy - h2, 0, 487.9),
+         np.clip(cx + w2, 0, 799.9), np.clip(cy + h2, 0, 487.9)], 1
+    ).astype(np.float32)
+    rois = jnp.asarray(rois)
+    ref = roi_align(feat, rois, output_size=7, spatial_scale=0.125,
+                    sampling_ratio=2)
+    out = roi_align_pallas_exact(
+        feat, rois, output_size=7, spatial_scale=0.125, sampling_ratio=2,
+        c_tile=128, roi_block=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -59,6 +59,10 @@ def _roi_align_kernel(
     h_lim: int,
     w_lim: int,
     c_tile: int,
+    ext_lo: float = -1.0,
+    ext_hi: float = 1e30,
+    full_frame: bool = False,
+    w_dma: int = 0,
 ):
     ct_idx = pl.program_id(0)
     rb = pl.program_id(1)
@@ -73,28 +77,57 @@ def _roi_align_kernel(
         y2 = rois_ref[r * 4 + 3] * spatial_scale - 0.5
         return x1, y1, x2, y2
 
-    win_x = win + 8  # x origin is aligned down to the 8-sublane tiling
+    # full_frame: the window IS the whole feature tile -> exact for any ROI.
+    # Windowed: x slices must START and be SIZED in multiples of 8 (sublane
+    # tiling), so the feature is padded to w_dma (multiple of 8) by the
+    # wrapper and win_x = win + 8 absorbs the align-down of the origin. The
+    # y margin (+8 rows) keeps ceil(y2)+1 inside the window for every
+    # in-bucket ROI, including the bucket-overlap band.
+    win_y = h_lim if full_frame else min(win + 8, h_lim)
+    win_x = w_lim if full_frame else win + 8
 
     def window_origin(r):
+        if full_frame:
+            zero = jnp.int32(0)
+            return zero, pl.multiple_of(zero, 8)
         x1, y1, x2, y2 = roi_coords(r)
-        y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32), 0, max(h_lim - win, 0))
-        x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32), 0, max(w_lim - win_x, 0))
+        y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32), 0, max(h_lim - win_y, 0))
+        # w_dma - win_x is a multiple of 8, so the right-edge clamp survives
+        # the align-down intact and the window reaches the last column
+        x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32), 0, max(w_dma - win_x, 0))
         x0 = pl.multiple_of((x0 // 8) * 8, 8)
         return y0, x0
+
+    def in_bucket(r):
+        x1, y1, x2, y2 = roi_coords(r)
+        ext = jnp.maximum(x2 - x1, y2 - y1)
+        return jnp.logical_and(ext > ext_lo, ext <= ext_hi)
 
     def _dma(slot, r):
         y0, x0 = window_origin(r)
         return pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(y0, win), pl.ds(x0, win_x), pl.ds(c_start, c_tile)],
+            feat_hbm.at[pl.ds(y0, win_y), pl.ds(x0, win_x), pl.ds(c_start, c_tile)],
             win_buf.at[slot],
             sems.at[slot],
         )
 
     def start_dma(slot, r):
-        _dma(slot, r).start()
+        if full_frame:
+            return  # feature block arrives via the BlockSpec pipeline
+        @pl.when(in_bucket(r))
+        def _():
+            _dma(slot, r).start()
 
     def wait_dma(slot, r):
-        _dma(slot, r).wait()
+        if full_frame:
+            return
+        @pl.when(in_bucket(r))
+        def _():
+            _dma(slot, r).wait()
+
+    def row_at(slot, idx):
+        # full_frame: feat_hbm IS the resident [H, W, CT] VMEM block
+        return feat_hbm[idx] if full_frame else win_buf[slot, idx]
 
     # warm up: first ROI's window
     start_dma(0, rb * roi_block)
@@ -115,6 +148,7 @@ def _roi_align_kernel(
         wait_dma(slot, r)
 
         x1, y1, x2, y2 = roi_coords(r)
+        take = in_bucket(r)
         bin_h = (y2 - y1) / p
         bin_w = (x2 - x1) / p
         y0, x0 = window_origin(r)
@@ -123,17 +157,29 @@ def _roi_align_kernel(
         ys = y1 + (ph_of_k + sub_of_k) * bin_h
         xs = x1 + (ph_of_k + sub_of_k) * bin_w
 
-        # ROIs larger than the window are RESAMPLED into it (uniform
-        # downscale of the sample grid) instead of clamped — a bilinear
-        # approximation of pooling the downscaled ROI.
-        span_y = (y0 + win - 2).astype(jnp.float32) - y1
-        span_x = (x0 + win_x - 2).astype(jnp.float32) - x1
-        sy_fac = jnp.minimum(1.0, span_y / jnp.maximum(y2 - y1, 1e-6))
-        sx_fac = jnp.minimum(1.0, span_x / jnp.maximum(x2 - x1, 1e-6))
-        ys = y1 + (ys - y1) * sy_fac
-        xs = x1 + (xs - x1) * sx_fac
+        if not full_frame:
+            # ROIs larger than the window are RESAMPLED into it (uniform
+            # downscale of the sample grid) instead of clamped — a bilinear
+            # approximation of pooling the downscaled ROI. (Unused by the
+            # exact multi-pass entry point, whose last pass is full_frame.)
+            # a window that reaches the array edge clamps samples exactly
+            # like the reference (no resampling needed beyond it)
+            span_y = jnp.where(
+                y0 + win_y >= h_lim,
+                jnp.float32(1e9),
+                (y0 + win_y - 2).astype(jnp.float32) - y1,
+            )
+            span_x = jnp.where(
+                x0 + win_x >= w_lim,
+                jnp.float32(1e9),
+                (x0 + win_x - 2).astype(jnp.float32) - x1,
+            )
+            sy_fac = jnp.minimum(1.0, span_y / jnp.maximum(y2 - y1, 1e-6))
+            sx_fac = jnp.minimum(1.0, span_x / jnp.maximum(x2 - x1, 1e-6))
+            ys = y1 + (ys - y1) * sy_fac
+            xs = x1 + (xs - x1) * sx_fac
 
-        ylo, yhi, wy0, wy1, yok = _sample_meta(ys, float(h_lim), win, y0)
+        ylo, yhi, wy0, wy1, yok = _sample_meta(ys, float(h_lim), win_y, y0)
         xlo, xhi, wx0, wx1, xok = _sample_meta(xs, float(w_lim), win_x, x0)
         # scalar extraction of bools is unsupported on the scalar core —
         # fold y-validity into the y weights instead
@@ -153,22 +199,24 @@ def _roi_align_kernel(
         ) * xok[:, None].astype(jnp.float32)  # [k, win]
 
         def body(acc_ref):
-            for kk in range(k):  # p*s sample rows (static unroll)
-                row = (
-                    win_buf[slot, ylo[kk]].astype(jnp.float32) * wy0[kk]
-                    + win_buf[slot, yhi[kk]].astype(jnp.float32) * wy1[kk]
-                )  # [win, CT]
-                samples = jnp.dot(
-                    wx_mat, row, preferred_element_type=jnp.float32
-                )  # [k, CT]
-                # sum the s sub-columns of each bin: [p, s, CT] -> [p, CT]
-                contrib = samples.reshape(p, s, ct).sum(axis=1)
-                ph = kk // s
-                if kk % s == 0:
-                    acc_ref[ph] = contrib
-                else:
-                    acc_ref[ph] += contrib
-            out_ref[i] = (acc_ref[...] / float(s * s)).astype(out_ref.dtype)
+            @pl.when(take)
+            def _():
+                for kk in range(k):  # p*s sample rows (static unroll)
+                    row = (
+                        row_at(slot, ylo[kk]).astype(jnp.float32) * wy0[kk]
+                        + row_at(slot, yhi[kk]).astype(jnp.float32) * wy1[kk]
+                    )  # [win, CT]
+                    samples = jnp.dot(
+                        wx_mat, row, preferred_element_type=jnp.float32
+                    )  # [k, CT]
+                    # sum the s sub-columns of each bin: [p, s, CT] -> [p, CT]
+                    contrib = samples.reshape(p, s, ct).sum(axis=1)
+                    ph = kk // s
+                    if kk % s == 0:
+                        acc_ref[ph] = contrib
+                    else:
+                        acc_ref[ph] += contrib
+                out_ref[i] = (acc_ref[...] / float(s * s)).astype(out_ref.dtype)
 
         pl.run_scoped(body, pltpu.VMEM((p, p, ct), jnp.float32))
 
@@ -177,7 +225,7 @@ def _roi_align_kernel(
     jax.jit,
     static_argnames=(
         "output_size", "spatial_scale", "sampling_ratio", "win", "c_tile",
-        "roi_block", "interpret",
+        "roi_block", "interpret", "ext_lo", "ext_hi", "full_frame",
     ),
 )
 def roi_align_pallas(
@@ -190,6 +238,9 @@ def roi_align_pallas(
     c_tile: int = 512,
     roi_block: int = 8,
     interpret: bool = False,
+    ext_lo: float = -1.0,
+    ext_hi: float = 1e30,
+    full_frame: bool = False,
 ) -> jnp.ndarray:
     h, w, c = feat.shape
     p = output_size
@@ -200,21 +251,36 @@ def roi_align_pallas(
     n_pad = rois_p.shape[0]
     c_tile = min(c_tile, c)
     assert c % c_tile == 0
-    win = min(win, h, max(w - 8, 8))
+    if not full_frame:
+        win = min(win, h, max(w - 8, 8))
+        assert win % 8 == 0 or win == max(w - 8, 8) or win == h, win
+    w_dma = -(-w // 8) * 8
+    if not full_frame and w_dma != w:
+        feat = jnp.pad(feat, ((0, 0), (0, w_dma - w), (0, 0)))
+    win_y = h if full_frame else min(win + 8, h)
+    win_x = w if full_frame else win + 8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c // c_tile, n_pad // roi_block),
         in_specs=[
-            # ANY-space inputs must be whole-array blocks with a trivial
-            # index map; the channel tile is sliced inside the window DMA.
-            pl.BlockSpec(memory_space=pl.ANY),
+            # full_frame: the whole spatial tile (one channel tile) rides the
+            # BlockSpec pipeline into VMEM — no manual DMA, no 8-alignment
+            # constraint on W. Otherwise ANY-space whole-array (the window
+            # is DMA'd manually; Mosaic requires 8-aligned manual slices).
+            pl.BlockSpec((h, w, c_tile), lambda ct, rb, rois_s: (0, 0, ct))
+            if full_frame
+            else pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (roi_block, p, p, c_tile), lambda ct, rb, rois_s: (rb, 0, 0, ct)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, win, win + 8, c_tile), feat.dtype),
+            # full_frame never touches the window buffer; keep it minimal
+            pltpu.VMEM(
+                (2, 8, 8, c_tile) if full_frame else (2, win_y, win_x, c_tile),
+                feat.dtype,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -228,6 +294,10 @@ def roi_align_pallas(
         h_lim=h,
         w_lim=w,
         c_tile=c_tile,
+        ext_lo=ext_lo,
+        ext_hi=ext_hi,
+        full_frame=full_frame,
+        w_dma=w_dma,
     )
     out = pl.pallas_call(
         kernel,
@@ -236,3 +306,102 @@ def roi_align_pallas(
         interpret=interpret,
     )(rois_p.reshape(-1), feat)
     return out[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "output_size", "spatial_scale", "sampling_ratio", "c_tile", "roi_block",
+        "interpret",
+    ),
+)
+def roi_align_pallas_exact(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    c_tile: int = 512,
+    roi_block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """EXACT multi-pass variant: three size buckets (window 16 / 48 /
+    full-frame) run the same kernel with per-ROI predicates, so each ROI pays
+    only its own bucket's DMA + compute; results select by size. The
+    full-frame pass covers arbitrarily large ROIs exactly (the window IS the
+    feature tile)."""
+    h, w, c = feat.shape
+    scale = spatial_scale
+    ext = jnp.maximum(
+        (rois[:, 2] - rois[:, 0]) * scale, (rois[:, 3] - rois[:, 1]) * scale
+    )
+    # bucket edges in feature px; window must cover ext + 1 (bilinear hi) + 8
+    # (x alignment slack). The kernel computes ext with a DIFFERENT fp
+    # expression ((x*scale-0.5) differences), so kernel buckets OVERLAP by
+    # +-0.5: whichever side of an edge the selector lands on, that pass
+    # definitely processed the ROI.
+    e1, e2 = 14.0, 44.0
+    common = dict(
+        output_size=output_size, spatial_scale=spatial_scale,
+        sampling_ratio=sampling_ratio, c_tile=c_tile, roi_block=roi_block,
+        interpret=interpret,
+    )
+    a = roi_align_pallas(
+        feat, rois, win=16, ext_lo=-1.0, ext_hi=e1 + 0.5, **common
+    )
+    b = roi_align_pallas(
+        feat, rois, win=48, ext_lo=e1 - 0.5, ext_hi=e2 + 0.5, **common
+    )
+    # full-frame pass: window = whole feature tile; shrink the channel tile
+    # so the double-buffered scratch fits VMEM (2*H*W*ct*bytes <= ~8MB)
+    itemsize = 2 if feat.dtype == jnp.bfloat16 else 4
+    ct_full = c_tile
+    while ct_full > 128 and 2 * h * w * ct_full * itemsize > 8 * 1024 * 1024:
+        ct_full //= 2
+    common_full = dict(common, c_tile=ct_full)
+    full = roi_align_pallas(
+        feat, rois, full_frame=True, ext_lo=e2 - 0.5, ext_hi=1e30, **common_full
+    )
+    sel = ext[:, None, None, None]
+    out = jnp.where(sel <= e1, a, jnp.where(sel <= e2, b, full))
+    return out
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4)
+)
+def roi_align_pallas_exact_ad(
+    feat, rois, output_size=7, spatial_scale=1.0, sampling_ratio=2
+):
+    """Differentiable wrapper: Pallas exact kernel forward, gather-path VJP
+    backward (only taken when the backbone is unfrozen; the frozen-backbone
+    training path stop-gradients the features so backward never runs)."""
+    return roi_align_pallas_exact(
+        feat, rois, output_size=output_size, spatial_scale=spatial_scale,
+        sampling_ratio=sampling_ratio,
+    )
+
+
+def _ra_exact_fwd(feat, rois, output_size, spatial_scale, sampling_ratio):
+    out = roi_align_pallas_exact(
+        feat, rois, output_size=output_size, spatial_scale=spatial_scale,
+        sampling_ratio=sampling_ratio,
+    )
+    return out, (feat, rois)
+
+
+def _ra_exact_bwd(output_size, spatial_scale, sampling_ratio, res, g):
+    from ..roi_pool import roi_align
+
+    feat, rois = res
+    _, vjp = jax.vjp(
+        lambda f, r: roi_align(
+            f, r, output_size=output_size, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio,
+        ),
+        feat, rois,
+    )
+    return vjp(g)
+
+
+roi_align_pallas_exact_ad.defvjp(_ra_exact_fwd, _ra_exact_bwd)
