@@ -131,8 +131,13 @@ class ROIPooler:
         boxes: jnp.ndarray,  # [B, P, 4]
         valid: jnp.ndarray,  # [B, P]
         level_ids: Optional[jnp.ndarray] = None,  # [B, P] (MRRP branch routing)
+        mask_invalid: bool = True,
     ) -> jnp.ndarray:
-        """Returns [B, P, S, S, C] (or [3, B, P, S, S, C] for ROILoopPool)."""
+        """Returns [B, P, S, S, C] (or [3, B, P, S, S, C] for ROILoopPool).
+
+        ``mask_invalid=False`` skips the full-tensor zeroing pass for callers
+        that immediately multiply by a validity-carrying gate anyway."""
+        self._skip_mask = not mask_invalid
         n_levels = len(features)
         b = boxes.shape[0]
 
@@ -206,6 +211,8 @@ class ROIPooler:
         return self._mask_invalid(out, valid)
 
     def _mask_invalid(self, out: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        if getattr(self, "_skip_mask", False):
+            return out
         if self.triple:
             return out * valid[None, :, :, None, None, None].astype(out.dtype)
         return out * valid[:, :, None, None, None].astype(out.dtype)

@@ -169,10 +169,16 @@ class WSOVODROIHeads(nn.Module):
         feats = [features[f] for f in self.in_features]
         level_ids = proposals.get("level_ids")
         pooled = self.pooler(
-            feats, proposals.proposal_boxes, proposals.valid, level_ids=level_ids
+            feats, proposals.proposal_boxes, proposals.valid,
+            level_ids=level_ids, mask_invalid=False,
         )
-        # objectness gating (reference :727-744): scale by (objectness + 1)
-        gate = (proposals.objectness_logits + 1.0).astype(pooled.dtype)
+        # objectness gating (reference :727-744): scale by (objectness + 1).
+        # Invalid-proposal zeroing is folded into the gate (one full-tensor
+        # multiply instead of two).
+        gate = (
+            (proposals.objectness_logits + 1.0)
+            * proposals.valid.astype(proposals.objectness_logits.dtype)
+        ).astype(pooled.dtype)
         if self.pooler.triple:
             pooled = pooled * gate[None, :, :, None, None, None]
         else:

@@ -308,6 +308,246 @@ def roi_align_pallas(
     return out[:n]
 
 
+def _roi_align_kernel_ab(
+    rois_ref,  # [N*4] SMEM (scalar prefetch)
+    feat_hbm,  # [H, W_dma, C] ANY/HBM
+    out_ref,  # [RB, P, P, CT] VMEM
+    buf_a,  # [2, WIN_YA, WIN_XA, CT] VMEM scratch (small-ROI windows)
+    buf_b,  # [2, WIN_YB, WIN_XB, CT] VMEM scratch (mid-ROI windows)
+    sem_a,  # DMA semaphores (2,)
+    sem_b,  # DMA semaphores (2,)
+    *,
+    p: int,
+    s: int,
+    spatial_scale: float,
+    win_a: int,
+    win_b: int,
+    roi_block: int,
+    h_lim: int,
+    w_lim: int,
+    c_tile: int,
+    e_mid: float,
+    e_hi: float,
+    w_dma: int,
+):
+    """Fused small+mid bucket ROIAlign: one grid pass, one output buffer.
+
+    Each ROI classifies as small (ext <= e_mid, window win_a), mid
+    (e_mid < ext <= e_hi, window win_b) or neither (skipped — the caller's
+    full-frame pass owns it). Both window DMAs are predicated, so a ROI pays
+    only its own bucket's DMA + compute, and the two buckets share the
+    output block (no cross-pass select needed for them)."""
+    ct_idx = pl.program_id(0)
+    rb = pl.program_id(1)
+    c_start = ct_idx * c_tile
+
+    def roi_coords(r):
+        x1 = rois_ref[r * 4 + 0] * spatial_scale - 0.5
+        y1 = rois_ref[r * 4 + 1] * spatial_scale - 0.5
+        x2 = rois_ref[r * 4 + 2] * spatial_scale - 0.5
+        y2 = rois_ref[r * 4 + 3] * spatial_scale - 0.5
+        return x1, y1, x2, y2
+
+    def ext_of(r):
+        x1, y1, x2, y2 = roi_coords(r)
+        return jnp.maximum(x2 - x1, y2 - y1)
+
+    def is_small(r):
+        return ext_of(r) <= e_mid
+
+    def is_mid(r):
+        e = ext_of(r)
+        return jnp.logical_and(e > e_mid, e <= e_hi)
+
+    win_ya = min(win_a + 8, h_lim)
+    win_xa = win_a + 8
+    win_yb = min(win_b + 8, h_lim)
+    win_xb = win_b + 8
+
+    def origin(r, win_y, win_x):
+        x1, y1, _, _ = roi_coords(r)
+        y0 = jnp.clip(jnp.floor(y1).astype(jnp.int32), 0, max(h_lim - win_y, 0))
+        x0 = jnp.clip(jnp.floor(x1).astype(jnp.int32), 0, max(w_dma - win_x, 0))
+        x0 = pl.multiple_of((x0 // 8) * 8, 8)
+        return y0, x0
+
+    def start_dma(slot, r):
+        @pl.when(is_small(r))
+        def _():
+            y0, x0 = origin(r, win_ya, win_xa)
+            pltpu.make_async_copy(
+                feat_hbm.at[
+                    pl.ds(y0, win_ya), pl.ds(x0, win_xa), pl.ds(c_start, c_tile)
+                ],
+                buf_a.at[slot],
+                sem_a.at[slot],
+            ).start()
+
+        @pl.when(is_mid(r))
+        def _():
+            y0, x0 = origin(r, win_yb, win_xb)
+            pltpu.make_async_copy(
+                feat_hbm.at[
+                    pl.ds(y0, win_yb), pl.ds(x0, win_xb), pl.ds(c_start, c_tile)
+                ],
+                buf_b.at[slot],
+                sem_b.at[slot],
+            ).start()
+
+    def wait_dma(slot, r):
+        @pl.when(is_small(r))
+        def _():
+            pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(0, win_ya), pl.ds(0, win_xa), pl.ds(0, c_tile)],
+                buf_a.at[slot],
+                sem_a.at[slot],
+            ).wait()
+
+        @pl.when(is_mid(r))
+        def _():
+            pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(0, win_yb), pl.ds(0, win_xb), pl.ds(0, c_tile)],
+                buf_b.at[slot],
+                sem_b.at[slot],
+            ).wait()
+
+    start_dma(0, rb * roi_block)
+
+    k = p * s
+    grid_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0].astype(jnp.float32)
+    ph_of_k = jnp.floor(grid_k / s)
+    sub_of_k = (grid_k - ph_of_k * s + 0.5) / s
+    ct = c_tile
+
+    for i in range(roi_block):
+        r = rb * roi_block + i
+        slot = i % 2
+
+        @pl.when(i + 1 < roi_block)
+        def _():
+            start_dma((i + 1) % 2, r + 1)
+
+        wait_dma(slot, r)
+
+        x1, y1, x2, y2 = roi_coords(r)
+        bin_h = (y2 - y1) / p
+        bin_w = (x2 - x1) / p
+        ys = y1 + (ph_of_k + sub_of_k) * bin_h
+        xs = x1 + (ph_of_k + sub_of_k) * bin_w
+
+        def bucket_body(buf, win_y, win_x, y0, x0, acc_ref):
+            ylo, yhi, wy0, wy1, yok = _sample_meta(ys, float(h_lim), win_y, y0)
+            xlo, xhi, wx0, wx1, xok = _sample_meta(xs, float(w_lim), win_x, x0)
+            yok_f = yok.astype(jnp.float32)
+            wy0l = wy0 * yok_f
+            wy1l = wy1 * yok_f
+            col_iota = jax.lax.broadcasted_iota(jnp.int32, (k, win_x), 1)
+            wx_mat = (
+                jnp.where(col_iota == xlo[:, None], wx0[:, None], 0.0)
+                + jnp.where(col_iota == xhi[:, None], wx1[:, None], 0.0)
+            ) * xok[:, None].astype(jnp.float32)
+            for kk in range(k):
+                row = (
+                    buf[slot, ylo[kk]].astype(jnp.float32) * wy0l[kk]
+                    + buf[slot, yhi[kk]].astype(jnp.float32) * wy1l[kk]
+                )
+                samples = jnp.dot(wx_mat, row, preferred_element_type=jnp.float32)
+                contrib = samples.reshape(p, s, ct).sum(axis=1)
+                ph = kk // s
+                if kk % s == 0:
+                    acc_ref[ph] = contrib
+                else:
+                    acc_ref[ph] += contrib
+            out_ref[i] = (acc_ref[...] / float(s * s)).astype(out_ref.dtype)
+
+        def body(acc_ref):
+            @pl.when(is_small(r))
+            def _():
+                y0, x0 = origin(r, win_ya, win_xa)
+                bucket_body(buf_a, win_ya, win_xa, y0, x0, acc_ref)
+
+            @pl.when(is_mid(r))
+            def _():
+                y0, x0 = origin(r, win_yb, win_xb)
+                bucket_body(buf_b, win_yb, win_xb, y0, x0, acc_ref)
+
+        pl.run_scoped(body, pltpu.VMEM((p, p, ct), jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "output_size", "spatial_scale", "sampling_ratio", "win_a", "win_b",
+        "c_tile", "roi_block", "interpret", "e_mid", "e_hi",
+    ),
+)
+def roi_align_pallas_ab(
+    feat: jnp.ndarray,  # [H, W, C]
+    rois: jnp.ndarray,  # [N, 4]
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    win_a: int = 16,
+    win_b: int = 48,
+    c_tile: int = 512,
+    roi_block: int = 8,
+    interpret: bool = False,
+    e_mid: float = 14.0,
+    e_hi: float = 44.5,
+) -> jnp.ndarray:
+    h, w, c = feat.shape
+    p = output_size
+    s = max(sampling_ratio, 1)
+    n = rois.shape[0]
+    pad = (-n) % roi_block
+    rois_p = jnp.pad(rois.astype(jnp.float32), ((0, pad), (0, 0)))
+    n_pad = rois_p.shape[0]
+    c_tile = min(c_tile, c)
+    assert c % c_tile == 0
+    w_dma = -(-w // 8) * 8
+    if w_dma != w:
+        feat = jnp.pad(feat, ((0, 0), (0, w_dma - w), (0, 0)))
+    win_ya, win_xa = min(win_a + 8, h), win_a + 8
+    win_yb, win_xb = min(win_b + 8, h), win_b + 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(c // c_tile, n_pad // roi_block),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (roi_block, p, p, c_tile), lambda ct, rb, rois_s: (rb, 0, 0, ct)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_ya, win_xa, c_tile), feat.dtype),
+            pltpu.VMEM((2, win_yb, win_xb, c_tile), feat.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _roi_align_kernel_ab,
+        p=p,
+        s=s,
+        spatial_scale=spatial_scale,
+        win_a=win_a,
+        win_b=win_b,
+        roi_block=roi_block,
+        h_lim=h,
+        w_lim=w,
+        c_tile=c_tile,
+        e_mid=e_mid,
+        e_hi=e_hi,
+        w_dma=w_dma,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, p, p, c), feat.dtype),
+        interpret=interpret,
+    )(rois_p.reshape(-1), feat)
+    return out[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -346,11 +586,10 @@ def roi_align_pallas_exact(
         sampling_ratio=sampling_ratio, c_tile=c_tile, roi_block=roi_block,
         interpret=interpret,
     )
-    a = roi_align_pallas(
-        feat, rois, win=16, ext_lo=-1.0, ext_hi=e1 + 0.5, **common
-    )
-    b = roi_align_pallas(
-        feat, rois, win=48, ext_lo=e1 - 0.5, ext_hi=e2 + 0.5, **common
+    # fused small+mid pass shares one output block (in-kernel bucketing), so
+    # only ONE select against the full-frame pass remains
+    ab = roi_align_pallas_ab(
+        feat, rois, win_a=16, win_b=48, e_mid=e1, e_hi=e2 + 0.5, **common
     )
     # full-frame pass: window = whole feature tile; shrink the channel tile
     # so the double-buffered scratch fits VMEM (2*H*W*ct*bytes <= ~8MB)
@@ -363,7 +602,7 @@ def roi_align_pallas_exact(
         feat, rois, full_frame=True, ext_lo=e2 - 0.5, ext_hi=1e30, **common_full
     )
     sel = ext[:, None, None, None]
-    out = jnp.where(sel <= e1, a, jnp.where(sel <= e2, b, full))
+    out = jnp.where(sel <= e2, ab, full)
     return out
 
 
