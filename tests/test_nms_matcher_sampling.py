@@ -148,3 +148,27 @@ def test_subsample_randomness():
     p1, _ = subsample_labels(labels, 64, 0.25, jax.random.PRNGKey(1))
     p2, _ = subsample_labels(labels, 64, 0.25, jax.random.PRNGKey(2))
     assert not np.array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_nms_early_stop_matches_full_topk():
+    """nms_topk's early-stopped scan returns the same top-k set as a full
+    scan (the k best survivors are the first k in score order)."""
+    from wsovod_tpu.ops.nms import nms_mask, nms_topk
+
+    rng = np.random.RandomState(7)
+    n, k = 256, 32
+    ctr = rng.uniform(20, 200, (n, 2))
+    wh = rng.uniform(5, 80, (n, 2))
+    boxes = jnp.asarray(
+        np.concatenate([ctr - wh / 2, ctr + wh / 2], axis=1).astype(np.float32)
+    )
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+
+    full_keep = nms_mask(boxes, scores, 0.5, valid=valid)
+    s = np.where(np.asarray(full_keep), np.asarray(scores), -np.inf)
+    want = set(np.argsort(-s)[:k][s[np.argsort(-s)[:k]] > -np.inf])
+
+    idx, ok = nms_topk(boxes, scores, 0.5, k, valid=valid)
+    got = set(np.asarray(idx)[np.asarray(ok)])
+    assert got == want

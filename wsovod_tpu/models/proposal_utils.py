@@ -72,7 +72,11 @@ def find_top_rpn_proposals(
     valid = valid & jnp.all(jnp.isfinite(boxes), axis=-1)
 
     def _nms_one(b, s, i, v):
-        keep = batched_nms_mask(b, s, i, nms_thresh, valid=v)
+        # stop_after: only the post_nms_topk best survivors are kept, so the
+        # greedy scan may exit once that many survive (exact, ~halves steps)
+        keep = batched_nms_mask(
+            b, s, i, nms_thresh, valid=v, stop_after=post_nms_topk
+        )
         kv = jnp.where(keep, s, -jnp.inf)
         topv, topi = jax.lax.top_k(kv, min(post_nms_topk, kv.shape[0]))
         return b[topi], topv, i[topi], topv > -jnp.inf

@@ -24,6 +24,7 @@ def nms_mask(
     scores: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    stop_after: int | None = None,
 ) -> jnp.ndarray:
     """Greedy NMS. Returns a bool keep mask aligned with the input order.
 
@@ -31,6 +32,11 @@ def nms_mask(
       boxes: [N, 4] XYXY.
       scores: [N].
       valid: optional [N] bool; invalid rows are never kept and never suppress.
+      stop_after: stop the greedy scan once this many boxes survive. Boxes the
+        scan never reached are reported as NOT kept — exact for callers that
+        keep only the ``stop_after`` best-scored survivors (the scan runs in
+        score order), roughly halving the sequential steps for RPN-style
+        pre-NMS 2x post-NMS budgets.
     """
     n = boxes.shape[0]
     if valid is None:
@@ -44,15 +50,36 @@ def nms_mask(
 
     iou = pairwise_iou(sboxes, sboxes)
     suppress_pair = iou > iou_threshold  # [N, N]
+    later_all = jnp.arange(n)
 
-    def body(i, keep):
-        # If box i survives, suppress all later boxes it overlaps.
-        row = suppress_pair[i]
-        later = jnp.arange(n) > i
-        kill = keep[i] & row & later
-        return keep & ~kill
+    if stop_after is not None and stop_after < n:
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
+        def cond(state):
+            i, _, cnt = state
+            return jnp.logical_and(i < n, cnt < stop_after)
+
+        def wbody(state):
+            i, keep, cnt = state
+            row = suppress_pair[i]
+            kill = keep[i] & row & (later_all > i)
+            keep = keep & ~kill
+            # keep[i] is final here: only earlier boxes can suppress box i
+            cnt = cnt + keep[i].astype(jnp.int32)
+            return i + 1, keep, cnt
+
+        i_end, keep_sorted, _ = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), svalid, jnp.int32(0))
+        )
+        keep_sorted = keep_sorted & (later_all < i_end)
+    else:
+
+        def body(i, keep):
+            # If box i survives, suppress all later boxes it overlaps.
+            row = suppress_pair[i]
+            kill = keep[i] & row & (later_all > i)
+            return keep & ~kill
+
+        keep_sorted = jax.lax.fori_loop(0, n, body, svalid)
     # scatter back to input order
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
     return keep
@@ -64,6 +91,7 @@ def batched_nms_mask(
     idxs: jnp.ndarray,
     iou_threshold: float,
     valid: jnp.ndarray | None = None,
+    stop_after: int | None = None,
 ) -> jnp.ndarray:
     """Class/level-aware NMS via the coordinate-offset trick.
 
@@ -76,7 +104,8 @@ def batched_nms_mask(
     max_coord = jnp.max(jnp.where(valid[:, None] if valid is not None else True, boxes, 0.0)) + 1.0
     offsets = idxs.astype(boxes.dtype) * max_coord
     shifted = boxes + offsets[:, None]
-    return nms_mask(shifted, scores, iou_threshold, valid=valid)
+    return nms_mask(shifted, scores, iou_threshold, valid=valid,
+                    stop_after=stop_after)
 
 
 def nms_topk(
@@ -92,10 +121,14 @@ def nms_topk(
     Returns ``(indices [k], keep_valid [k])`` — indices into the input arrays,
     padded arbitrarily where ``keep_valid`` is False.
     """
+    # top-k takes the k best-scored survivors == the first k survivors in
+    # scan order, so the greedy scan may stop once k have survived (exact)
     if idxs is None:
-        keep = nms_mask(boxes, scores, iou_threshold, valid=valid)
+        keep = nms_mask(boxes, scores, iou_threshold, valid=valid, stop_after=k)
     else:
-        keep = batched_nms_mask(boxes, scores, idxs, iou_threshold, valid=valid)
+        keep = batched_nms_mask(
+            boxes, scores, idxs, iou_threshold, valid=valid, stop_after=k
+        )
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(keep, scores, neg_inf)
     topv, topi = jax.lax.top_k(s, k)
