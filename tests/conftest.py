@@ -19,3 +19,26 @@ except ImportError:
     pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+# Two test tiers (VERDICT r1 #9): `-m unit` gates every commit (~90 s),
+# `-m integration` is the per-round 10+ min tier (whole-model compiles).
+_INTEGRATION_MODULES = {
+    "test_end_to_end",
+    "test_more_integration",
+    "test_meta_arch",
+    "test_sam",
+    "test_pallas_roi_pool",
+    "test_weight_import",
+    "test_clip_text",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _INTEGRATION_MODULES:
+            item.add_marker(pytest.mark.integration)
+        else:
+            item.add_marker(pytest.mark.unit)

@@ -182,3 +182,61 @@ def test_engine_defaults_aliases():
 
     assert D.DefaultTrainer is D.WSOVODTrainer
     assert callable(D.default_writers)
+
+
+def test_precise_bn_update():
+    """precise_bn_update recomputes FrozenBatchNorm mean/var from data
+    (d2 PreciseBN semantics: plain average of per-batch stats)."""
+    import flax.linen as nn
+
+    from wsovod_tpu.engine.hooks import precise_bn_update
+    from wsovod_tpu.models.layers import ConvNorm
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return ConvNorm(8, 1, norm="BN", name="c")(x)
+
+    m = M()
+    rng = np.random.RandomState(0)
+    batches = [jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32) * 3 + 1)
+               for _ in range(4)]
+    params = m.init(jax.random.PRNGKey(0), batches[0])
+    new_params = precise_bn_update(m, params, batches)
+
+    # oracle: conv output stats averaged per batch
+    kernel = params["params"]["c"]["kernel"]
+    outs = [np.asarray(jax.lax.conv_general_dilated(
+        b, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))) for b in batches]
+    means = np.mean([o.reshape(-1, 8).mean(0) for o in outs], axis=0)
+    vars_ = np.mean([o.reshape(-1, 8).var(0) for o in outs], axis=0)
+    got = new_params["params"]["c"]["FrozenBatchNorm_0"]
+    np.testing.assert_allclose(np.asarray(got["mean"]), means, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["var"]), vars_, rtol=1e-4, atol=1e-5)
+    # scale/bias untouched
+    np.testing.assert_allclose(np.asarray(got["scale"]), 1.0)
+
+
+def test_swin_fpn_backbone():
+    """build_swin_fpn_backbone produces real multi-level FPN outputs (p2-p6)
+    with OUT_CHANNELS channels (was: silent alias of the plain Swin)."""
+    from wsovod_tpu.config import get_cfg
+    from wsovod_tpu.models.backbones import build_backbone
+
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_swin_fpn_backbone"
+    cfg.MODEL.SWIN.EMBED_DIM = 24
+    cfg.MODEL.SWIN.DEPTHS = [1, 1, 1, 1]
+    cfg.MODEL.SWIN.NUM_HEADS = [2, 2, 2, 2]
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    bb = build_backbone(cfg)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    params = bb.init(jax.random.PRNGKey(0), x)
+    out = bb.apply(params, x)
+    assert set(out) == {"p2", "p3", "p4", "p5", "p6"}
+    assert out["p2"].shape == (1, 16, 24, 32)
+    assert out["p5"].shape == (1, 2, 3, 32)
+    assert out["p6"].shape == (1, 1, 2, 32)
+    strides = bb.output_strides()
+    assert strides == {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}

@@ -175,3 +175,49 @@ def test_tta_driver_smoke(two_datasets, tmp_path):
     results = test_with_TTA_WSL(cfg, model, params, embeddings=emb)
     res = results[names[0]]["bbox"]
     assert "AP50" in res and np.isfinite(res["AP50"])
+
+
+def test_tta_driver_union(two_datasets, tmp_path):
+    """UNION merge path: RPN (non-precomputed) model through test_with_TTA_WSL
+    (reference engine/trainer.py:151-154 selects TTAUNION for RPN models)."""
+    names, prop_files = two_datasets
+    cfg = get_cfg()
+    cfg.MODEL.LOAD_PROPOSALS = True
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 2
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 16
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 4
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [16, 16]
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 8
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
+    cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
+    cfg.DATASETS.TEST = (names[0],)
+    cfg.DATASETS.PROPOSAL_FILES_TEST = (prop_files[0],)
+    cfg.DATASETS.PRECOMPUTED_PROPOSAL_TOPK_TEST = 8
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 96
+    cfg.TEST.AUG.FLIP = True
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.TPU.PROPOSAL_PAD = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    assert cfg.MODEL.PROPOSAL_GENERATOR.NAME == "WSOVODRPN_V2"  # UNION branch
+
+    from wsovod_tpu.engine.evaluator import test_with_TTA_WSL
+    from wsovod_tpu.models import build_model
+
+    model = build_model(cfg)
+    emb = jnp.asarray(np.random.RandomState(1).randn(2, 8).astype(np.float32))
+    batch = {
+        "images": jnp.zeros((1, 64, 96, 3), jnp.float32),
+        "image_sizes": jnp.asarray([[64, 80]], jnp.int32),
+        "sam_boxes": jnp.zeros((1, 8, 4), jnp.float32),
+        "sam_scores": jnp.zeros((1, 8), jnp.float32),
+        "sam_valid": jnp.ones((1, 8), bool),
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False,
+                        embeddings=emb)
+    results = test_with_TTA_WSL(cfg, model, params, embeddings=emb)
+    res = results[names[0]]["bbox"]
+    assert "AP50" in res and np.isfinite(res["AP50"])

@@ -17,6 +17,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# WSOVOD_PLATFORM=cpu forces the CPU backend (useful for smoke runs on hosts
+# where a sitecustomize pins JAX_PLATFORMS to an accelerator plugin — env-var
+# prefixes alone do not override that pin).
+_plat = os.environ.get("WSOVOD_PLATFORM")
+if _plat:
+    os.environ["JAX_PLATFORMS"] = _plat
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
+
 
 def default_argument_parser():
     p = argparse.ArgumentParser()

@@ -63,6 +63,13 @@ def get_cfg() -> CN:
     _C.MODEL.SWIN.APE = False
     _C.MODEL.SWIN.PATH_NORM = True
 
+    # d2 FPN keys consumed by build_swin_fpn_backbone (d2 defaults)
+    _C.MODEL.FPN = CN()
+    _C.MODEL.FPN.IN_FEATURES = ["stage2", "stage3", "stage4", "stage5"]
+    _C.MODEL.FPN.OUT_CHANNELS = 256
+    _C.MODEL.FPN.NORM = ""
+    _C.MODEL.FPN.FUSE_TYPE = "sum"
+
     _C.MODEL.MRRP = CN()
     _C.MODEL.MRRP.MRRP_ON = False
     _C.MODEL.MRRP.NUM_BRANCH = 3

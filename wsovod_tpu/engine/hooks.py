@@ -62,3 +62,59 @@ def verify_results(cfg, results: Dict[str, Dict]) -> bool:
             logger.info("%s/%s = %.4f OK (expected %.4f +/- %.4f)",
                         task, metric, actual, expect, tol)
     return ok
+
+
+def precise_bn_update(model, params, batches, apply_kwargs=None, num_iter=None):
+    """PreciseBN (d2 hook, reference ``engine/defaults.py:190-201``): recompute
+    BN statistics as the plain average of per-batch mean/var over ``batches``
+    (fvcore ``update_bn_stats`` semantics) and write them back into the frozen
+    ``mean``/``var`` parameters.
+
+    Works with this codebase's FrozenBatchNorm design (stats are params):
+    the forward pass sows per-batch statistics into the ``precise_bn``
+    collection when it is mutable. Returns updated params; a model with no BN
+    layers is returned unchanged.
+    """
+    import flax
+
+    apply_kwargs = dict(apply_kwargs or {})
+    sums = None
+    count = 0
+    for i, batch in enumerate(batches):
+        if num_iter is not None and i >= num_iter:
+            break
+        # drop any stale sown collection from the variables before applying
+        clean = {k: v for k, v in params.items() if k != "precise_bn"}
+        _, col = model.apply(clean, batch, mutable=["precise_bn"], **apply_kwargs)
+        stats = flax.core.unfreeze(col.get("precise_bn", {}))
+        # sow stores a tuple of sown values per call site; take the freshest
+        leaves = jax.tree_util.tree_map(
+            lambda t: t[-1] if isinstance(t, tuple) else t,
+            stats,
+            is_leaf=lambda t: isinstance(t, tuple),
+        )
+        sums = (
+            leaves
+            if sums is None
+            else jax.tree_util.tree_map(lambda a, b: a + b, sums, leaves)
+        )
+        count += 1
+    if not sums or count == 0:
+        return params
+    avg = jax.tree_util.tree_map(lambda a: a / count, sums)
+
+    was_frozen = isinstance(params, flax.core.FrozenDict)
+    p = flax.core.unfreeze(params)
+
+    def write(node_stats, node_params):
+        for k, v in node_stats.items():
+            if k == "stats":
+                node_params["mean"] = v[0].astype(node_params["mean"].dtype)
+                node_params["var"] = jnp.maximum(v[1], 0.0).astype(
+                    node_params["var"].dtype
+                )
+            elif k in node_params:
+                write(v, node_params[k])
+
+    write(avg, p["params"])
+    return flax.core.freeze(p) if was_frozen else p

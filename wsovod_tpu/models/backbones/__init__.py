@@ -11,10 +11,14 @@ def build_backbone(cfg):
         "build_vgg_backbone": build_vgg_backbone,
         "build_mrrp_vgg_backbone": build_vgg_backbone,
     }
-    if name in ("build_swin_backbone", "build_swin_fpn_backbone"):
+    if name == "build_swin_backbone":
         from .swin import build_swin_backbone
 
         return build_swin_backbone(cfg)
+    if name == "build_swin_fpn_backbone":
+        from .swin import build_swin_fpn_backbone
+
+        return build_swin_fpn_backbone(cfg)
     if name not in builders:
         raise ValueError(f"Unknown backbone: {name}")
     return builders[name](cfg)

@@ -204,3 +204,73 @@ def build_swin_backbone(cfg) -> SwinTransformer:
         patch_norm=s.PATH_NORM,
         out_features=tuple(s.OUT_FEATURES),
     )
+
+
+class SwinFPN(nn.Module):
+    """FPN over a Swin bottom-up (d2 ``FPN`` + ``LastLevelMaxPool`` semantics,
+    reference ``wsovod/modeling/backbone/swin_transformer.py:679-697``).
+
+    Lateral 1x1 convs project each bottom-up stage to ``out_channels``; the
+    top-down path upsamples (nearest 2x) and sums (``fuse_type='avg'`` halves
+    the sum); each fused map passes a 3x3 output conv. ``LastLevelMaxPool``
+    appends a stride-2 max pool of the last output as p6.
+    """
+
+    bottom_up: SwinTransformer
+    in_features: Sequence[str] = ("stage2", "stage3", "stage4", "stage5")
+    out_channels: int = 256
+    fuse_type: str = "sum"
+    top_block: bool = True  # LastLevelMaxPool -> extra p{N+1} level
+
+    def output_strides(self) -> Dict[str, int]:
+        bu = self.bottom_up.output_strides()
+        strides = {}
+        for f in self.in_features:
+            s = bu[f]
+            strides[f"p{int(np.log2(s))}"] = s
+        if self.top_block:
+            top = max(strides.values()) * 2
+            strides[f"p{int(np.log2(top))}"] = top
+        return strides
+
+    def output_channels(self) -> Dict[str, int]:
+        return {k: self.out_channels for k in self.output_strides()}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.bottom_up(x, train=train)
+        bu_strides = self.bottom_up.output_strides()
+        # top-down order: coarsest first
+        names = sorted(self.in_features, key=lambda f: -bu_strides[f])
+        prev = None
+        outputs = {}
+        for f in names:
+            lateral = nn.Conv(
+                self.out_channels, (1, 1), name=f"fpn_lateral_{f}"
+            )(feats[f])
+            if prev is not None:
+                up = jnp.repeat(jnp.repeat(prev, 2, axis=1), 2, axis=2)
+                up = up[:, : lateral.shape[1], : lateral.shape[2]]
+                lateral = lateral + up
+                if self.fuse_type == "avg":
+                    lateral = lateral / 2.0
+            prev = lateral
+            out = nn.Conv(
+                self.out_channels, (3, 3), padding="SAME", name=f"fpn_output_{f}"
+            )(lateral)
+            outputs[f"p{int(np.log2(bu_strides[f]))}"] = out
+        if self.top_block:
+            coarsest = outputs[f"p{int(np.log2(bu_strides[names[0]]))}"]
+            outputs[f"p{int(np.log2(bu_strides[names[0]])) + 1}"] = nn.max_pool(
+                coarsest, (1, 1), strides=(2, 2)
+            )
+        return outputs
+
+
+def build_swin_fpn_backbone(cfg) -> SwinFPN:
+    return SwinFPN(
+        bottom_up=build_swin_backbone(cfg),
+        in_features=tuple(cfg.MODEL.FPN.IN_FEATURES),
+        out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+    )

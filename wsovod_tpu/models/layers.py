@@ -30,6 +30,16 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, shape)
         mean = self.param("mean", nn.initializers.zeros, shape)
         var = self.param("var", nn.initializers.ones, shape)
+        # PreciseBN support (d2 hook, reference engine/defaults.py:190-201):
+        # when the caller makes the 'precise_bn' collection mutable, sow this
+        # batch's input statistics so the hook can recompute mean/var params
+        # from data (frozen stats are params here, not batch_stats).
+        if self.is_mutable_collection("precise_bn") and not self.is_initializing():
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            bmean = jnp.mean(xf, axis=axes)
+            bvar = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(bmean)
+            self.sow("precise_bn", "stats", jnp.stack([bmean, bvar]))
         # Fold into a single scale/shift (XLA fuses this into the conv).
         # Cast to the activation dtype so frozen stats don't upcast a bf16
         # compute path back to f32.

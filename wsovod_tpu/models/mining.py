@@ -118,17 +118,33 @@ def pgt_mist(
     top_percent: float = 0.15,
     thres: float = 0.05,
     nms_thresh: float = 0.2,
-    cap_per_class: int = 64,
+    cap_per_class: int | None = None,
     min_area: float = 20.0,
+    sam: bool = False,
+    nms_cap: int = 2048,
 ) -> PseudoGT:
     """MIST mining (reference :909-1040): top-p% per class -> NMS -> union.
 
-    ``cap_per_class`` statically bounds the per-class candidate set (the
-    reference's p% of up-to-5k proposals is dynamically sized).
+    Semantics matched to the reference:
+
+    * per-class candidate count = ``int(p * top_percent)``
+      (roi_heads.py:920-927 via ``get_pgt_top_k(top_k=0.15)``), here rounded
+      up to a 64 bucket for shape reuse with the surplus ranks masked off;
+    * the NMS is GLOBAL across classes — the reference passes all-zero ids to
+      ``batched_nms`` (roi_heads.py:930-935 ``pgt_idxs = zeros_like``);
+    * without SAM refinement the reference's Instances zip sets
+      ``gt_weights = pgt_scores`` (roi_heads.py:1320-1328 zips ``pgt_scores``
+      twice); with SAM it keeps the image-level logits (:1297). ``sam=True``
+      selects the latter.
+
+    ``nms_cap`` bounds the global-NMS candidate set (top-scored first) so the
+    IoU matrix stays O(cap^2) instead of O((C*k)^2); the reference's dynamic
+    set is ~``#present_classes * p*0.15``, well under the default cap.
     """
     p, c = pred_scores.shape
     k_frac = max(int(p * top_percent), 1)
-    k = min(max(k_frac, 1), cap_per_class, p)
+    k_bucket = -(-k_frac // 64) * 64  # round UP to a 64 bucket
+    k = min(k_bucket if cap_per_class is None else min(k_bucket, cap_per_class), p)
 
     mined = pgt_top_k(
         pred_boxes,
@@ -140,16 +156,29 @@ def pgt_mist(
         thres=thres,
         min_area=min_area,
     )
-    # per-class NMS among the mined candidates
-    boxes_ck = mined.boxes.reshape(c, k, 4)
-    scores_ck = mined.scores.reshape(c, k)
-    valid_ck = mined.valid.reshape(c, k)
-    keep = jax.vmap(lambda b, s, v: nms_mask(b, s, nms_thresh, valid=v))(
-        boxes_ck, scores_ck, valid_ck
-    )
+    # ranks beyond the reference's exact candidate count (columns are
+    # score-sorted by top_k) are padding from the 64-bucket rounding
+    g = c * k
+    valid = mined.valid & (jnp.tile(jnp.arange(k), c) < k_frac)
+
+    if g > nms_cap:
+        # compact the top-scored valid candidates into the NMS window; the
+        # greedy scan runs in score order so a large-enough cap is exact
+        s_masked = jnp.where(valid, mined.scores, -jnp.inf)
+        top_i = jax.lax.top_k(s_masked, nms_cap)[1]
+        keep_w = nms_mask(
+            mined.boxes[top_i],
+            mined.scores[top_i],
+            nms_thresh,
+            valid=valid[top_i],
+        )
+        keep = jnp.zeros((g,), bool).at[top_i].set(keep_w)
+    else:
+        keep = nms_mask(mined.boxes, mined.scores, nms_thresh, valid=valid)
+
+    weights = mined.weights if sam else mined.scores
     return PseudoGT(
-        mined.boxes, mined.classes, mined.scores, mined.weights,
-        mined.valid & keep.reshape(-1),
+        mined.boxes, mined.classes, mined.scores, weights, valid & keep
     )
 
 
@@ -195,7 +224,8 @@ def label_and_sample_wsl(
     sampled = pos | neg
     gt_classes = jnp.where(sampled, gt_classes, -1)
 
-    bg_or_ignore = gt_classes >= num_classes
+    # ignore rows get weight 0; background rows keep their matched weight for
+    # the weighted CE (reference copies matched gt_weights for all rows and
+    # the CE loss skips -1 labels, roi_heads.py:1688-1691)
     gt_weights = jnp.where(gt_classes == -1, 0.0, gt_weights)
-    # background rows keep their matched weight for the weighted CE
     return LabeledProposals(gt_classes, gt_boxes, gt_scores, gt_weights)

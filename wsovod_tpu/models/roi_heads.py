@@ -238,9 +238,20 @@ class WSOVODROIHeads(nn.Module):
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        pgt_fn = pgt_mist if self.refine_mist else pgt_top_k
         last_pgt = None
         for k in range(self.refine_k):
+            sam_applies = (
+                k < len(self.refine_reg)
+                and self.refine_reg[k]
+                and self.bbox_refine
+                and sam_embed is not None
+            )
+            if self.refine_mist:
+                # reference get_pgt_mist: weights follow the sam/no-sam zip
+                # (roi_heads.py:1297,1320-1328)
+                pgt_fn = lambda *a: pgt_mist(*a, sam=sam_applies)
+            else:
+                pgt_fn = pgt_top_k
             mine = jax.vmap(
                 lambda b, s, v, p, w: pgt_fn(b, s[:, :num_classes], v, p, w)
             )(
