@@ -94,5 +94,57 @@ def main():
         timeit("old exact per-image + gate", run_old, feat, rois, gate)
 
 
-if __name__ == "__main__":
+
+
+def sweep():
+    import itertools
+    from wsovod_tpu.ops.pallas.roi_align_fused import roi_align_fused_batched
+
+    B, H, W, C = 4, 86, 132, 2048
+    N = 5024
+    scale = 1.0 / 8
+    reps = 8
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+    xy = rng.uniform(0, 800, (B, N, 2))
+    wh = rng.uniform(8, 300, (B, N, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2.0, (B, N)).astype(np.float32))
+
+    for c_take, c_tile, rb in itertools.product((2048, 512, 256), (256, 128), (16, 32, 64)):
+        if c_take < c_tile:
+            continue
+
+        @jax.jit
+        def run(feat, rois, gate, c_take=c_take, c_tile=c_tile, rb=rb):
+            out = None
+            r = rois
+            for _ in range(reps):
+                outs = []
+                for cb in range(0, C, c_take):
+                    outs.append(
+                        roi_align_fused_batched(
+                            feat, r, gate, c_base=cb, c_take=c_take,
+                            c_tile=c_tile, roi_block=rb, spatial_scale=scale,
+                        )
+                    )
+                out = jnp.concatenate(outs, -1) if len(outs) > 1 else outs[0]
+                r = rois + (out[0, 0, 0, 0, 0] * 0).astype(rois.dtype)
+            return out
+
+        try:
+            out = run(feat, rois, gate)
+            np.asarray(out[0, 0, 0, 0, 0])
+            t0 = time.perf_counter()
+            out = run(feat, rois, gate)
+            np.asarray(out[0, 0, 0, 0, 0])
+            dt = (time.perf_counter() - t0) / reps * 1000
+            print(f"c_take={c_take} c_tile={c_tile} rb={rb}: {dt:.2f} ms", flush=True)
+        except Exception as e:
+            print(f"c_take={c_take} c_tile={c_tile} rb={rb}: FAIL {str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "sweep":
+    sweep()
+elif __name__ == "__main__":
     main()

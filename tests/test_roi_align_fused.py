@@ -86,3 +86,65 @@ def test_fused_narrow_image():
     got = roi_align_fused_batched(feat, rois, gate, spatial_scale=0.25, interpret=True)
     want = _ref_pool(feat, rois, gate, 0.25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ad_wrapper_grads():
+    """roi_align_fused_ad: forward matches, grads match the gather-path
+    autodiff on valid rows (invalid rows' gate grad is immaterial — the
+    (objectness+1)*valid chain multiplies it by 0)."""
+    from wsovod_tpu.ops.pallas import roi_align_fused as raf
+
+    raf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(4)
+        b, h, w, c = 2, 16, 20, 128
+        scale = 0.25
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        n = 8
+        xy = rng.uniform(0, 40, (b, n, 2))
+        wh = rng.uniform(4, 30, (b, n, 2))
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, n) > 0.25)
+        gate = (jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32)) + 1.0) * valid
+        rois = jnp.where(valid[..., None], rois, 0.0)
+        cot = jnp.asarray(rng.randn(b, n, 7, 7, c).astype(np.float32))
+
+        def f_fused(f, g):
+            o = raf.roi_align_fused_ad(f, rois, g, 0, None, 7, scale, 2)
+            return jnp.sum(o * cot)
+
+        def f_ref(f, g):
+            o = _ref_pool(f, rois, g, scale)
+            return jnp.sum(o * cot)
+
+        assert np.allclose(f_fused(feat, gate), f_ref(feat, gate), rtol=1e-4, atol=1e-4)
+        gf1, gg1 = jax.grad(f_fused, (0, 1))(feat, gate)
+        gf2, gg2 = jax.grad(f_ref, (0, 1))(feat, gate)
+        np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4, atol=1e-4)
+        v = np.asarray(valid)
+        np.testing.assert_allclose(
+            np.asarray(gg1)[v], np.asarray(gg2)[v], rtol=1e-4, atol=1e-4
+        )
+        assert np.all(np.asarray(gg1)[~v] == 0.0)
+    finally:
+        raf._INTERPRET = False
+
+
+def test_chunked_fc1_matches_dense_general():
+    """ChunkedDenseGeneral == nn.DenseGeneral over (h,w,c) with shared params."""
+    import flax.linen as nn
+
+    from wsovod_tpu.models.box_head import ChunkedDenseGeneral
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(3, 11, 7, 7, 256).astype(np.float32))
+    dg = nn.DenseGeneral(
+        64, axis=(-3, -2, -1),
+        kernel_init=nn.initializers.normal(0.005),
+        bias_init=nn.initializers.constant(0.1),
+    )
+    params = dg.init(jax.random.PRNGKey(0), x)
+    want = dg.apply(params, x)
+    ch = ChunkedDenseGeneral(64, in_shape=(7, 7, 256))
+    got = ch.apply(params, [x[..., :128], x[..., 128:]])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

@@ -282,11 +282,15 @@ def get_cfg() -> CN:
     _C.TPU.MAX_GT_PAD = 128  # padded ground-truth instances per image
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
     _C.TPU.PARAM_DTYPE = "float32"
+    # "fused" = image-batched resident-tile Pallas ROIAlign with the WSOVOD
+    # objectness gate folded in, streamed chunk-wise into the DAN fc1 (~2.5x
+    # the round-1 "pallas" kernel; exact; falls back to "pallas" on paths it
+    # doesn't cover: MRRP, multi-level, off-TPU);
     # "pallas" = exact size-bucketed windowed-DMA Pallas ROIAlign (~2x faster
     # than gather on v5e, bit-accurate; auto-falls back to gather off-TPU);
     # "gather" = exact XLA-gather ROIAlign; "pallas_approx" = single-window
     # Pallas kernel (fastest, approximate for ROIs larger than the window)
-    _C.TPU.ROI_ALIGN_KERNEL = "pallas"
+    _C.TPU.ROI_ALIGN_KERNEL = "fused"
 
     return _C
 

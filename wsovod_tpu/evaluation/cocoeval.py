@@ -78,9 +78,9 @@ class COCOEval:
 
         for g in gt:
             area = g.get("area", g["bbox"][2] * g["bbox"][3])
-            g["_ignore"] = g.get("iscrowd", 0) or not (
-                area_rng[0] <= area < area_rng[1]
-            )
+            # pycocotools boundary semantics: out-of-range is area<lo or
+            # area>hi (STRICT at the upper bound — area == 32^2 is "small")
+            g["_ignore"] = g.get("iscrowd", 0) or area < area_rng[0] or area > area_rng[1]
 
         gt_order = np.argsort([g["_ignore"] for g in gt], kind="mergesort")
         gt = [gt[i] for i in gt_order]
@@ -118,8 +118,9 @@ class COCOEval:
                 gt_matched[ti, best] = True
 
         # dets outside the area range that are unmatched -> ignore
+        # (same strict-upper-bound semantics as the gt ignore above)
         d_areas = d_boxes[:, 2] * d_boxes[:, 3]
-        d_out = (d_areas < area_rng[0]) | (d_areas >= area_rng[1])
+        d_out = (d_areas < area_rng[0]) | (d_areas > area_rng[1])
         dt_ignore = dt_ignore | ((dt_matches == -1) & d_out[None])
 
         return {

@@ -12,12 +12,47 @@ NHWC and flatten as (h, w, c). The weight importer permutes fc1 accordingly.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import ConvNorm
+
+
+class ChunkedDenseGeneral(nn.Module):
+    """Param-compatible with ``nn.DenseGeneral(axis=(-3, -2, -1))`` over
+    (h, w, c), applied channel-chunk-wise: callers pass the pooled features as
+    a list of ``[..., p, p, c_i]`` chunks and the full ``[..., p, p, C]``
+    tensor never materializes (the WSOVOD pooled tensor is ~1 GB/image at the
+    COCO proposal budget). Partial products accumulate in f32."""
+
+    features: int
+    in_shape: Tuple[int, int, int]  # (p, p, c_total)
+    dtype: str | None = None
+
+    @nn.compact
+    def __call__(self, chunks) -> jnp.ndarray:
+        p1, p2, c_total = self.in_shape
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.005), (p1, p2, c_total, self.features)
+        )
+        bias = self.param("bias", nn.initializers.constant(0.1), (self.features,))
+        dt = jnp.dtype(self.dtype) if self.dtype else chunks[0].dtype
+        acc = None
+        c0 = 0
+        for x in chunks:
+            ci = x.shape[-1]
+            k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2).astype(dt)
+            y = jnp.einsum(
+                "...hwc,hwcf->...f", x.astype(dt), k,
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+            c0 += ci
+        assert c0 == c_total, (c0, c_total)
+        return (acc + bias.astype(jnp.float32)).astype(dt)
 
 
 class DiscriminativeAdaptationNeck(nn.Module):
@@ -28,8 +63,15 @@ class DiscriminativeAdaptationNeck(nn.Module):
     dtype: str | None = None  # compute dtype for the FC GEMMs (None = f32)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        """x: [..., P, P, C] pooled features -> [..., fc_dims[-1]]."""
+    def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
+        """x: [..., P, P, C] pooled features -> [..., fc_dims[-1]].
+
+        ``x`` may also be a list/tuple of channel chunks ``[..., P, P, c_i]``
+        (the fused pool->fc1 streaming path): fc1 is then applied chunk-wise
+        via the param-compatible ``ChunkedDenseGeneral`` and the concatenated
+        pooled tensor never materializes. Chunked input requires no convs."""
+        chunked = isinstance(x, (list, tuple))
+        assert not (chunked and self.conv_dims), "chunked input incompatible with convs"
         for i, d in enumerate(self.conv_dims):
             x = nn.relu(
                 ConvNorm(
@@ -39,16 +81,23 @@ class DiscriminativeAdaptationNeck(nn.Module):
             )
         for i, d in enumerate(self.fc_dims):
             if i == 0:
-                # contract (h, w, c) directly — a reshape to [*, h*w*c] would
-                # force a physical relayout of the 1GB pooled tensor on TPU
-                x = nn.DenseGeneral(
-                    d,
-                    axis=(-3, -2, -1),
-                    dtype=self.dtype,
-                    kernel_init=nn.initializers.normal(0.005),
-                    bias_init=nn.initializers.constant(0.1),
-                    name="fc1",
-                )(x)
+                if chunked:
+                    p1, p2 = x[0].shape[-3:-1]
+                    c_total = sum(c.shape[-1] for c in x)
+                    x = ChunkedDenseGeneral(
+                        d, in_shape=(p1, p2, c_total), dtype=self.dtype, name="fc1"
+                    )(x)
+                else:
+                    # contract (h, w, c) directly — a reshape to [*, h*w*c]
+                    # would force a physical relayout of the 1GB pooled tensor
+                    x = nn.DenseGeneral(
+                        d,
+                        axis=(-3, -2, -1),
+                        dtype=self.dtype,
+                        kernel_init=nn.initializers.normal(0.005),
+                        bias_init=nn.initializers.constant(0.1),
+                        name="fc1",
+                    )(x)
                 x = nn.relu(x)
             else:
                 x = nn.relu(

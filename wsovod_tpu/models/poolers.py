@@ -77,6 +77,44 @@ class ROIPooler:
         except Exception:
             return False
 
+    def fused_chunk_pool(
+        self,
+        features: List[jnp.ndarray],
+        boxes: jnp.ndarray,  # [B, P, 4]
+        objectness: jnp.ndarray,  # [B, P]
+        valid: jnp.ndarray,  # [B, P]
+    ) -> Optional[List[jnp.ndarray]]:
+        """Fused pool+gate for the single-level ROIAlignV2 path (the flagship
+        COCO/VOC configs): one image-batched Pallas kernel per channel chunk,
+        with the WSOVOD objectness gate ``(objectness+1)*valid`` folded into
+        the kernel output. Returns ``[B, P, S, S, c_i]`` chunks meant to be
+        streamed straight into the DAN's chunked fc1 (the ~1 GB/image pooled
+        tensor never materializes), or None when this path doesn't apply."""
+        if self.pooler_type != "ROIAlignV2" or self.roi_align_kernel != "fused":
+            return None
+        if self.triple or len(features) != 1:
+            return None
+        feat = features[0]
+        if self.mrrp_on and feat.shape[0] != boxes.shape[0]:
+            return None
+        c = feat.shape[-1]
+        if not self._on_tpu() or c % 128 != 0:
+            return None
+        from ..ops.pallas.roi_align_fused import roi_align_fused_ad
+
+        gate = ((objectness + 1.0) * valid.astype(objectness.dtype)).astype(
+            jnp.float32
+        )
+        boxes = jnp.where(valid[..., None], boxes, 0.0).astype(jnp.float32)
+        c_take = 512 if c % 512 == 0 else c  # 4x512 measured fastest at C=2048
+        return [
+            roi_align_fused_ad(
+                feat, boxes, gate, cb, c_take, self.output_size,
+                self.scales[0], self.sampling_ratio,
+            )
+            for cb in range(0, c, c_take)
+        ]
+
     def _pool_one_level(self, feat, boxes, scale):
         """feat [H, W, C], boxes [P, 4] -> [P, S, S, C] or [3, P, S, S, C]."""
         if self.pooler_type in ("ROIPool",):
@@ -93,7 +131,7 @@ class ROIPooler:
             return roi_loop_pool(feat, boxes, self.output_size, scale)
         if self.pooler_type in ("ROIAlign", "ROIAlignV2"):
             if (
-                self.roi_align_kernel in ("pallas", "pallas_approx")
+                self.roi_align_kernel in ("fused", "pallas", "pallas_approx")
                 and self._on_tpu()
                 and feat.shape[-1] % 128 == 0
                 and self.pooler_type == "ROIAlignV2"
@@ -103,7 +141,10 @@ class ROIPooler:
                     roi_align_pallas_exact_ad,
                 )
 
-                if self.roi_align_kernel == "pallas":
+                # "fused" normally routes through fused_chunk_pool; paths it
+                # doesn't cover (MRRP, multi-level) fall back to the exact
+                # per-image kernel here
+                if self.roi_align_kernel in ("fused", "pallas"):
                     # exact multi-pass (size-bucketed windows): bit-accurate
                     # vs the gather path and ~2x faster on v5e; differentiable
                     # via a gather-path VJP fallback

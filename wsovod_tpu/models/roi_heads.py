@@ -168,23 +168,40 @@ class WSOVODROIHeads(nn.Module):
     ):
         feats = [features[f] for f in self.in_features]
         level_ids = proposals.get("level_ids")
-        pooled = self.pooler(
-            feats, proposals.proposal_boxes, proposals.valid,
-            level_ids=level_ids, mask_invalid=False,
+        # fused pool+gate+fc1 streaming path (single-level ROIAlignV2 on TPU):
+        # the kernel folds the (objectness+1)*valid gate in and emits channel
+        # chunks that the DAN contracts into fc1 without materializing the
+        # [B, P, S, S, C] pooled tensor
+        chunks = (
+            self.pooler.fused_chunk_pool(
+                feats,
+                proposals.proposal_boxes,
+                proposals.objectness_logits,
+                proposals.valid,
+            )
+            if not self.dan_conv_dims
+            else None
         )
-        # objectness gating (reference :727-744): scale by (objectness + 1).
-        # Invalid-proposal zeroing is folded into the gate (one full-tensor
-        # multiply instead of two).
-        gate = (
-            (proposals.objectness_logits + 1.0)
-            * proposals.valid.astype(proposals.objectness_logits.dtype)
-        ).astype(pooled.dtype)
-        if self.pooler.triple:
-            pooled = pooled * gate[None, :, :, None, None, None]
+        if chunks is not None:
+            box_features = self.box_head(chunks, train=train)  # [B, P, F]
         else:
-            pooled = pooled * gate[:, :, None, None, None]
+            pooled = self.pooler(
+                feats, proposals.proposal_boxes, proposals.valid,
+                level_ids=level_ids, mask_invalid=False,
+            )
+            # objectness gating (reference :727-744): scale by (objectness+1).
+            # Invalid-proposal zeroing is folded into the gate (one
+            # full-tensor multiply instead of two).
+            gate = (
+                (proposals.objectness_logits + 1.0)
+                * proposals.valid.astype(proposals.objectness_logits.dtype)
+            ).astype(pooled.dtype)
+            if self.pooler.triple:
+                pooled = pooled * gate[None, :, :, None, None, None]
+            else:
+                pooled = pooled * gate[:, :, None, None, None]
 
-        box_features = self.box_head(pooled, train=train)  # [(3,) B, P, F]
+            box_features = self.box_head(pooled, train=train)  # [(3,) B, P, F]
 
         if self.pooler.triple:
             roi, frame, ctx = box_features[0], box_features[1], box_features[2]

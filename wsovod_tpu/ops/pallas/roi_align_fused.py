@@ -43,6 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 NARROW_WIN = 64
 NARROW_EXT = 54.0  # max x-extent (feature px) provably covered by a 64 window
 
+# Flipped by CPU tests to run the kernel (incl. the AD wrapper, whose
+# custom_vjp signature has no room for an interpret arg) in interpret mode.
+_INTERPRET = False
+
 
 def _fused_kernel(
     rois_ref,  # [B*N*5] SMEM scalar prefetch: x1,y1,x2,y2,gate per ROI
@@ -62,11 +66,14 @@ def _fused_kernel(
     w_dma: int,
     c_tile: int,
     narrow_enabled: bool,
+    precision,
 ):
     b = pl.program_id(0)
     ct_i = pl.program_id(1)
     rbi = pl.program_id(2)
-    c0 = cbase_ref[0] + ct_i * c_tile
+    # c_base and c_tile are both 128-multiples (asserted in the wrapper); the
+    # hint lets Mosaic slice the lane-tiled HBM memref at a dynamic offset.
+    c0 = pl.multiple_of(cbase_ref[0] + ct_i * c_tile, 128)
 
     # Load this (image, channel-tile) resident tile once; rbi is the
     # innermost grid dim so the tile persists across all ROI blocks.
@@ -143,7 +150,13 @@ def _fused_kernel(
                     row_lo.astype(jnp.float32) * wy0_s
                     + row_hi.astype(jnp.float32) * wy1_s
                 )  # [win, CT]
-                contrib = jnp.dot(bx, row, preferred_element_type=jnp.float32)
+                # f32 inputs: force full-precision MXU passes (the TPU default
+                # truncates f32 matmul inputs to bf16 — fine when the features
+                # are bf16 anyway, wrong for the f32 parity path)
+                contrib = jnp.dot(
+                    bx, row, preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
                 ph = kk // s
                 if kk % s == 0:
                     acc_ref[ph] = contrib
@@ -219,6 +232,7 @@ def roi_align_fused_batched(
         ):
             c_tile //= 2
     assert c_take % c_tile == 0, (c_take, c_tile)
+    assert c_tile % 128 == 0, c_tile  # c_base must also be a 128-multiple
 
     w_dma = -(-w // 8) * 8
     if w_dma != w:
@@ -257,11 +271,83 @@ def roi_align_fused_batched(
         w_dma=w_dma,
         c_tile=c_tile,
         narrow_enabled=narrow_enabled,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if feat.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, p, p, c_take), feat.dtype),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(rois5, cbase, feat)
     return out[:, :n]
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def roi_align_fused_ad(
+    feat,  # [B, H, W, C]
+    rois,  # [B, N, 4]
+    gate,  # [B, N] ((objectness+1)*valid; exactly 0 on pads)
+    c_base: int = 0,
+    c_take: int | None = None,
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+):
+    """Differentiable fused pool+gate. Forward = the Pallas kernel; backward
+    computes the feature cotangent by transposing the (linear-in-feat)
+    gather-path ROIAlign and the gate cotangent from the saved output
+    (``gate`` is (objectness+1) >= 1 on valid rows, so out/gate is safe)."""
+    return roi_align_fused_batched(
+        feat, rois, gate, c_base=c_base, c_take=c_take,
+        output_size=output_size, spatial_scale=spatial_scale,
+        sampling_ratio=sampling_ratio,
+    )
+
+
+def _fused_ad_fwd(feat, rois, gate, c_base, c_take, output_size, spatial_scale, sampling_ratio):
+    out = roi_align_fused_batched(
+        feat, rois, gate, c_base=c_base, c_take=c_take,
+        output_size=output_size, spatial_scale=spatial_scale,
+        sampling_ratio=sampling_ratio,
+    )
+    return out, (feat, rois, gate, out)
+
+
+def _fused_ad_bwd(c_base, c_take, output_size, spatial_scale, sampling_ratio, res, g):
+    from ..roi_pool import roi_align
+
+    feat, rois, gate, out = res
+    c_take = feat.shape[-1] if c_take is None else c_take
+
+    gf = g.astype(jnp.float32)
+    safe = jnp.where(jnp.abs(gate) > 1e-8, gate, 1.0)
+    g_gate = jnp.where(
+        jnp.abs(gate) > 1e-8,
+        jnp.sum(gf * out.astype(jnp.float32), axis=(2, 3, 4)) / safe,
+        0.0,
+    ).astype(gate.dtype)
+
+    def lin(f):  # linear in f for fixed rois/gate
+        fs = jax.lax.slice_in_dim(f, c_base, c_base + c_take, axis=-1)
+        pooled = jnp.stack(
+            [
+                roi_align(
+                    fs[b], rois[b], output_size, spatial_scale,
+                    sampling_ratio=sampling_ratio,
+                )
+                for b in range(rois.shape[0])
+            ]
+        )
+        return pooled * gate[:, :, None, None, None].astype(pooled.dtype)
+
+    (g_feat,) = jax.linear_transpose(lin, feat)(g.astype(feat.dtype))
+    return g_feat, None, g_gate
+
+
+roi_align_fused_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)

@@ -207,7 +207,12 @@ def _roi_align_kernel(
                         + row_at(slot, yhi[kk]).astype(jnp.float32) * wy1[kk]
                     )  # [win, CT]
                     samples = jnp.dot(
-                        wx_mat, row, preferred_element_type=jnp.float32
+                        wx_mat, row, preferred_element_type=jnp.float32,
+                        precision=(
+                            jax.lax.Precision.HIGHEST
+                            if feat_hbm.dtype == jnp.float32
+                            else jax.lax.Precision.DEFAULT
+                        ),
                     )  # [k, CT]
                     # sum the s sub-columns of each bin: [p, s, CT] -> [p, CT]
                     contrib = samples.reshape(p, s, ct).sum(axis=1)
@@ -451,7 +456,14 @@ def _roi_align_kernel_ab(
                     buf[slot, ylo[kk]].astype(jnp.float32) * wy0l[kk]
                     + buf[slot, yhi[kk]].astype(jnp.float32) * wy1l[kk]
                 )
-                samples = jnp.dot(wx_mat, row, preferred_element_type=jnp.float32)
+                samples = jnp.dot(
+                    wx_mat, row, preferred_element_type=jnp.float32,
+                    precision=(
+                        jax.lax.Precision.HIGHEST
+                        if buf.dtype == jnp.float32
+                        else jax.lax.Precision.DEFAULT
+                    ),
+                )
                 contrib = samples.reshape(p, s, ct).sum(axis=1)
                 ph = kk // s
                 if kk % s == 0:
