@@ -59,6 +59,12 @@ def setup(args):
 
 
 def main(args):
+    # multi-host SPMD: connect this process to the slice-wide cluster before
+    # any device use (reference d2 launch/DDP, tools/train_net.py:83-90)
+    from wsovod_tpu.parallel.distributed import initialize_from_args
+
+    initialize_from_args(args.num_machines, args.machine_rank, args.dist_url)
+
     cfg = setup(args)
 
     from wsovod_tpu.data.datasets.builtin import register_all

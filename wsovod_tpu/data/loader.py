@@ -122,14 +122,26 @@ def _stack_batch(examples: List[Dict]) -> Dict[str, np.ndarray]:
     return batch
 
 
+def _resolve_shard(shard_rank, num_shards):
+    """Default the shard to this JAX process (multi-host data parallelism:
+    each host loads its slice; reference d2 samplers shard by rank)."""
+    if num_shards is None:
+        import jax
+
+        num_shards = jax.process_count()
+        shard_rank = jax.process_index() if shard_rank is None else shard_rank
+    return shard_rank or 0, num_shards
+
+
 def build_detection_train_loader(
     cfg,
-    shard_rank: int = 0,
-    num_shards: int = 1,
+    shard_rank: int = None,
+    num_shards: int = None,
     seed: int = 0,
 ) -> Iterator[Dict]:
     """Infinite batched iterator; batches grouped by image bucket so every
     batch has one static shape."""
+    shard_rank, num_shards = _resolve_shard(shard_rank, num_shards)
     dicts = get_detection_dataset_dicts(
         cfg.DATASETS.TRAIN,
         filter_empty=cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS,
@@ -187,8 +199,8 @@ def build_detection_test_loader(
     cfg,
     dataset_name: str,
     batch_size: int = 1,
-    shard_rank: int = 0,
-    num_shards: int = 1,
+    shard_rank: int = None,
+    num_shards: int = None,
 ) -> Iterator[Dict]:
     """Finite iterator over the eval split; trailing partial batches are
     padded by repeating the last example with ``batch_valid`` marking reals."""
@@ -206,6 +218,7 @@ def build_detection_test_loader(
         names, filter_empty=False, proposal_files=proposal_files
     )
     mapper = DatasetMapper(cfg, is_train=False)
+    shard_rank, num_shards = _resolve_shard(shard_rank, num_shards)
     sampler = InferenceSampler(len(dicts), shard_rank, num_shards)
 
     def gen():

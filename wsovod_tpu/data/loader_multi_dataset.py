@@ -67,6 +67,8 @@ class MultiDatasetTrainingSampler:
         ratios: List[float],
         per_image_factors: List[np.ndarray],
         seed: int = 0,
+        shard_rank: int = 0,
+        num_shards: int = 1,
     ):
         max_size = max(sizes)
         self.repeat_factors = []
@@ -75,8 +77,12 @@ class MultiDatasetTrainingSampler:
             self.repeat_factors.append(dataset_w * pif)
         self.sizes = sizes
         self.seed = seed
+        self.shard_rank = shard_rank
+        self.num_shards = num_shards
 
     def __iter__(self) -> Iterator:
+        # the seed is shared across hosts (reference shared_random_seed) so
+        # every shard draws the same epoch stream and takes a disjoint slice
         rng = np.random.RandomState(self.seed)
         while True:
             pairs = []
@@ -87,7 +93,7 @@ class MultiDatasetTrainingSampler:
                 pairs.append(np.stack([np.full_like(idxs, d), idxs], 1))
             allp = np.concatenate(pairs)
             rng.shuffle(allp)
-            yield from map(tuple, allp)
+            yield from map(tuple, allp[self.shard_rank :: self.num_shards])
 
 
 class MultiDatasetInferenceSampler:
@@ -128,11 +134,15 @@ def build_multi_dataset_train_loader(cfg, seed: int = 0) -> Iterator[Dict]:
         else:
             factors.append(np.ones(len(d)))
 
+    from .loader import _resolve_shard
+
+    shard_rank, num_shards = _resolve_shard(None, None)
     sampler = MultiDatasetTrainingSampler(
-        [len(d) for d in all_dicts], list(md.RATIOS), factors, seed=seed
+        [len(d) for d in all_dicts], list(md.RATIOS), factors, seed=seed,
+        shard_rank=shard_rank, num_shards=num_shards,
     )
     mapper = DatasetMapper(cfg, is_train=True)
-    batch_sizes = list(cfg.SOLVER.IMS_PER_BATCH_LIST)
+    batch_sizes = [max(1, b // num_shards) for b in cfg.SOLVER.IMS_PER_BATCH_LIST]
     while len(batch_sizes) < len(names):
         batch_sizes.append(batch_sizes[-1])
 

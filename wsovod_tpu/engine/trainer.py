@@ -23,6 +23,7 @@ import numpy as np
 
 from ..data.loader import build_detection_train_loader
 from ..models import build_model
+from ..parallel.distributed import to_global_batch
 from ..parallel.mesh import create_mesh, replicate, shard_batch
 from ..solver.build import auto_scale_workers, build_optimizer
 from ..utils.checkpoint import Checkpointer
@@ -205,7 +206,7 @@ class WSOVODTrainer:
         batch = self._first_batch
         data_t0 = time.perf_counter()
         for it in range(start, max_iter):
-            device_batch = shard_batch(self._device_batch(batch), self.mesh)
+            device_batch = to_global_batch(self._device_batch(batch), self.mesh)
             data_time = time.perf_counter() - data_t0
             with self.mesh:
                 state, metrics = self._run_step(state, device_batch, emb, batch)

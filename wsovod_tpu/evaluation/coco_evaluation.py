@@ -81,12 +81,33 @@ class COCOEvaluator:
             )
         )
 
+    def _gather_predictions(self) -> bool:
+        """Multi-host: merge per-host predictions onto the main process
+        (reference ``coco_evaluation.py:182-188`` comm.gather). Returns False
+        on non-main processes, which must report {}. GT is registered in full
+        on every host, so only predictions move."""
+        if getattr(self, "_gathered", False):
+            return True
+        from ..parallel.distributed import all_gather_objects, is_main_process
+
+        import jax
+
+        if jax.process_count() > 1:
+            parts = all_gather_objects(self._predictions)
+            if not is_main_process():
+                return False
+            self._predictions = [p for part in parts for p in part]
+        self._gathered = True
+        return True
+
     def _run_eval(self) -> COCOEval:
         ev = COCOEval(self._gt, self._predictions, self._img_ids, self._cat_ids)
         ev.evaluate()
         return ev
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        if not self._gather_predictions():
+            return {}
         if self._output_dir:
             os.makedirs(self._output_dir, exist_ok=True)
             with open(
@@ -109,6 +130,8 @@ class OVCOCOEvaluator(COCOEvaluator):
     per-group mean AP and AP50 over the 48-base / 17-novel COCO classes."""
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        if not self._gather_predictions():
+            return {}
         ev = self._run_eval()
         results = ev.summarize()
         per_cat = ev.per_category_ap()

@@ -145,6 +145,21 @@ class PascalVOCDetectionEvaluator_WSL:
             )
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        # multi-host: merge per-host predictions onto main (reference
+        # pascal_voc_evaluation.py:75-81 comm.gather); GT is full on all hosts
+        import jax
+
+        if jax.process_count() > 1:
+            from ..parallel.distributed import all_gather_objects, is_main_process
+
+            parts = all_gather_objects(dict(self._preds))
+            if not is_main_process():
+                return {}
+            merged = defaultdict(list)
+            for part in parts:
+                for c, lst in part.items():
+                    merged[c].extend(lst)
+            self._preds = merged
         thresholds = [0.5 + 0.05 * i for i in range(10)]
         aps = defaultdict(list)  # thresh -> [per-class ap]
         corlocs = defaultdict(list)

@@ -222,6 +222,25 @@ def roi_align_fused_batched(
     s = max(sampling_ratio, 1)
     c_take = c if c_take is None else c_take
 
+    # The ROI table is scalar-prefetched into SMEM (1 MB on v5e). Large
+    # batches exceed it -> split into image groups of equal size and concat.
+    smem_budget = 768 * 1024
+    n_pad_est = n + (-n) % roi_block
+    if b * n_pad_est * 5 * 4 > smem_budget:
+        g = b
+        while g > 1 and (g * n_pad_est * 5 * 4 > smem_budget or b % g != 0):
+            g -= 1
+        parts = [
+            roi_align_fused_batched(
+                feat[i : i + g], rois[i : i + g], gate[i : i + g], c_base,
+                output_size=output_size, spatial_scale=spatial_scale,
+                sampling_ratio=sampling_ratio, c_take=c_take, c_tile=c_tile,
+                roi_block=roi_block, interpret=interpret,
+            )
+            for i in range(0, b, g)
+        ]
+        return jnp.concatenate(parts, axis=0)
+
     if c_tile is None:
         # largest tile whose resident buffer fits comfortably in VMEM
         itemsize = 2 if feat.dtype == jnp.bfloat16 else 4
