@@ -282,6 +282,10 @@ def get_cfg() -> CN:
     _C.TPU.MAX_GT_PAD = 128  # padded ground-truth instances per image
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
     _C.TPU.PARAM_DTYPE = "float32"
+    # dtype of the in-training SAM refine encoder (BBOX_REFINE): bf16 runs
+    # the ViT ~4x faster on the MXU; its masks only seed pseudo-GT boxes, so
+    # bf16 wiggle on mask edges is immaterial
+    _C.TPU.SAM_COMPUTE_DTYPE = "bfloat16"
     # "fused" = image-batched resident-tile Pallas ROIAlign with the WSOVOD
     # objectness gate folded in, streamed chunk-wise into the DAN fc1 (~2.5x
     # the round-1 "pallas" kernel; exact; falls back to "pallas" on paths it

@@ -146,12 +146,23 @@ class WSOVODTrainer:
             "mask_decoder": sam_params["params"]["mask_decoder"],
         }
 
-        @jax.jit
-        def encode(images):
-            x, scale = sam_input_from_batch(images)
-            return encoder.apply(enc_params, x), scale
+        sam_dt = jnp.dtype(cfg.TPU.SAM_COMPUTE_DTYPE)
 
-        self.sam_encode = encode
+        # params enter as an ARGUMENT: closure-captured arrays are inlined as
+        # HLO constants, which blows up the compile payload (91M-param ViT)
+        @jax.jit
+        def encode(p, images):
+            x, scale = sam_input_from_batch(images)
+            out = encoder.apply(p, x.astype(sam_dt))
+            return out.astype(jnp.float32), scale
+
+        enc_params_dev = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, sam_dt)
+            if np.asarray(a).dtype == np.float32
+            else jnp.asarray(a),
+            enc_params,
+        )
+        self.sam_encode = lambda images: encode(enc_params_dev, images)
 
     def _graft_sam_refiner(self, state):
         """Replace the randomly initialized refiner params with the imported

@@ -56,9 +56,13 @@ class SAMRefiner(nn.Module):
         eb = jnp.concatenate([c - half, c + half], axis=1) * sam_scale
         eb = jnp.clip(eb, 0.0, float(self.sam_img_size))
 
-        sparse, dense = self.prompt_encoder(boxes=eb)
-        pe = self.prompt_encoder.dense_pe()
-        masks, iou = self.mask_decoder(sam_embed[None], pe, sparse, dense)
+        # single-pass bf16 MXU for the decoder's f32 matmuls: masks only seed
+        # pseudo-GT boxes (thresholded at 0), so full f32 passes are wasted
+        # here; no-op on CPU
+        with jax.default_matmul_precision("bfloat16"):
+            sparse, dense = self.prompt_encoder(boxes=eb)
+            pe = self.prompt_encoder.dense_pe()
+            masks, iou = self.mask_decoder(sam_embed[None], pe, sparse, dense)
         # single-mask output channel (SamPredictor multimask_output=False)
         m = masks[:, 0] > self.mask_threshold  # [G, 4Gh, 4Gw]
 

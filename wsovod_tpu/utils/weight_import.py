@@ -203,16 +203,22 @@ def import_wsovod_model(
             dah["linear2"]["bias"] = blobs[pref + "linear2.bias"]
             dah["datasets_feat"] = blobs[pref + "datasets_feat.weight"]
 
-    # RPN head: proposal_generator.rpn_head.{conv,objectness_logits,anchor_deltas}
+    # RPN head. Shipped configs use d2's StandardRPNHead
+    # (conv/objectness_logits/anchor_deltas, cfg default HEAD_NAME); the
+    # registered-but-unused WSOVODRPNHead names its convs
+    # rpn_conv/rpn_cls/rpn_reg/rpn_obj (reference rpn.py:43-50).
     rh = "proposal_generator.rpn_head."
+    head_names = None
     if has(rh + "conv.weight"):
+        head_names = ("conv", "objectness_logits", "anchor_deltas")
+    elif has(rh + "rpn_conv.weight"):
+        head_names = ("rpn_conv", "rpn_cls", "rpn_reg", "rpn_obj")
+    if head_names:
         rpn = model["proposal_generator"]["rpn_head"]
-        rpn["conv"]["kernel"] = _conv(blobs[rh + "conv.weight"])
-        rpn["conv"]["bias"] = blobs[rh + "conv.bias"]
-        rpn["objectness_logits"]["kernel"] = _conv(blobs[rh + "objectness_logits.weight"])
-        rpn["objectness_logits"]["bias"] = blobs[rh + "objectness_logits.bias"]
-        rpn["anchor_deltas"]["kernel"] = _conv(blobs[rh + "anchor_deltas.weight"])
-        rpn["anchor_deltas"]["bias"] = blobs[rh + "anchor_deltas.bias"]
+        for nm in head_names:
+            if nm in rpn and has(rh + nm + ".weight"):
+                rpn[nm]["kernel"] = _conv(blobs[rh + nm + ".weight"])
+                rpn[nm]["bias"] = blobs[rh + nm + ".bias"]
 
     return out
 
