@@ -64,12 +64,18 @@ def main():
                            train=False, embeddings=emb)
     )()
 
+    def fetch_scalar(out):
+        # slice ON DEVICE first — np.asarray of a big leaf drags the whole
+        # tensor through the axon tunnel (~40 MB/s) and corrupts the timing
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[:1])
+
     def timeit(name, fn, *args):
         out = fn(params, *args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        fetch_scalar(out)
         t0 = time.perf_counter()
         out = fn(params, *args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        fetch_scalar(out)
         dt = (time.perf_counter() - t0) / reps * 1000
         print(f"{name:34s}: {dt:7.2f} ms/batch ({dt / B:6.2f} ms/img)", flush=True)
         return out

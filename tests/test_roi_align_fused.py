@@ -148,3 +148,97 @@ def test_chunked_fc1_matches_dense_general():
     ch = ChunkedDenseGeneral(64, in_shape=(7, 7, 256))
     got = ch.apply(params, [x[..., :128], x[..., 128:]])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_hwnc_layout():
+    """hwnc_out=True returns [B, P, P, N, C] == transpose of the nhwc output;
+    AD wrapper grads agree between layouts."""
+    from wsovod_tpu.ops.pallas import roi_align_fused as raf
+
+    rng = np.random.RandomState(6)
+    b, h, w, c = 2, 16, 20, 128
+    scale = 0.25
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    n = 8
+    xy = rng.uniform(0, 40, (b, n, 2))
+    wh = rng.uniform(4, 30, (b, n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2.0, (b, n)).astype(np.float32))
+
+    o_nhwc = raf.roi_align_fused_batched(
+        feat, rois, gate, spatial_scale=scale, interpret=True
+    )
+    o_hwnc = raf.roi_align_fused_batched(
+        feat, rois, gate, spatial_scale=scale, interpret=True, hwnc_out=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_hwnc), np.asarray(jnp.transpose(o_nhwc, (0, 2, 3, 1, 4))),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    raf._INTERPRET = True
+    try:
+        cot = jnp.asarray(rng.randn(b, 7, 7, n, c).astype(np.float32))
+
+        def f_hwnc(f, g):
+            o = raf.roi_align_fused_ad(f, rois, g, 0, None, 7, scale, 2, True)
+            return jnp.sum(o * cot)
+
+        def f_nhwc(f, g):
+            o = raf.roi_align_fused_ad(f, rois, g, 0, None, 7, scale, 2, False)
+            return jnp.sum(o * jnp.transpose(cot, (0, 3, 1, 2, 4)))
+
+        gf1, gg1 = jax.grad(f_hwnc, (0, 1))(feat, gate)
+        gf2, gg2 = jax.grad(f_nhwc, (0, 1))(feat, gate)
+        np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2), rtol=1e-5, atol=1e-5)
+    finally:
+        raf._INTERPRET = False
+
+
+def test_chunked_fc1_hwnc_layout():
+    import flax.linen as nn
+
+    from wsovod_tpu.models.box_head import ChunkedDenseGeneral
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(3, 11, 7, 7, 256).astype(np.float32))  # [B,N,7,7,C]
+    dg = nn.DenseGeneral(
+        64, axis=(-3, -2, -1),
+        kernel_init=nn.initializers.normal(0.005),
+        bias_init=nn.initializers.constant(0.1),
+    )
+    params = dg.init(jax.random.PRNGKey(0), x)
+    want = dg.apply(params, x)
+    x_hwnc = jnp.transpose(x, (0, 2, 3, 1, 4))  # [B,7,7,N,C]
+    ch = ChunkedDenseGeneral(64, in_shape=(7, 7, 256), chunk_layout="hwnc")
+    got = ch.apply(params, [x_hwnc[..., :128], x_hwnc[..., 128:]])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_bf16_slab_path():
+    """The bf16 MXU-slab path (guard-row reads, wy folded into the LHS) must
+    match the f32 gather reference within bf16 tolerance, including ROIs
+    touching the bottom/right edges."""
+    rng = np.random.RandomState(8)
+    b, h, w, c = 2, 20, 28, 128
+    scale = 0.25
+    feat32 = rng.randn(b, h, w, c).astype(np.float32)
+    n = 12
+    xy = rng.uniform(0, 60, (b, n, 2))
+    wh = rng.uniform(4, 60, (b, n, 2))
+    rois = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    rois[0, 0] = [0, h / scale - 10, 30, h / scale]      # bottom edge
+    rois[0, 1] = [w / scale - 25, 0, w / scale, 40]       # right edge
+    rois[0, 2] = [0, 0, w / scale, h / scale]             # full frame
+    rois[0, 3] = [10, h / scale - 2, 30, h / scale + 6]   # past the bottom
+    gate = rng.uniform(0.5, 2.0, (b, n)).astype(np.float32)
+
+    got = roi_align_fused_batched(
+        jnp.asarray(feat32).astype(jnp.bfloat16), jnp.asarray(rois),
+        jnp.asarray(gate), spatial_scale=scale, roi_block=8, interpret=True,
+    )
+    want = _ref_pool(jnp.asarray(feat32), jnp.asarray(rois), jnp.asarray(gate), scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
+    )

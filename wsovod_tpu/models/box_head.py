@@ -24,13 +24,18 @@ from .layers import ConvNorm
 class ChunkedDenseGeneral(nn.Module):
     """Param-compatible with ``nn.DenseGeneral(axis=(-3, -2, -1))`` over
     (h, w, c), applied channel-chunk-wise: callers pass the pooled features as
-    a list of ``[..., p, p, c_i]`` chunks and the full ``[..., p, p, C]``
-    tensor never materializes (the WSOVOD pooled tensor is ~1 GB/image at the
-    COCO proposal budget). Partial products accumulate in f32."""
+    a list of chunks and the full ``[..., p, p, C]`` tensor never
+    materializes (the WSOVOD pooled tensor is ~1 GB/image at the COCO
+    proposal budget). Partial products accumulate in f32.
+
+    Chunk layouts: ``nhwc`` = ``[B, N, p, p, c_i]``; ``hwnc`` =
+    ``[B, p, p, N, c_i]`` — the latter is the Pallas fused-pool output whose
+    default physical layout the einsum contracts copy-free on TPU."""
 
     features: int
     in_shape: Tuple[int, int, int]  # (p, p, c_total)
     dtype: str | None = None
+    chunk_layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, chunks) -> jnp.ndarray:
@@ -40,14 +45,14 @@ class ChunkedDenseGeneral(nn.Module):
         )
         bias = self.param("bias", nn.initializers.constant(0.1), (self.features,))
         dt = jnp.dtype(self.dtype) if self.dtype else chunks[0].dtype
+        eq = "bhwnc,hwcf->bnf" if self.chunk_layout == "hwnc" else "...hwc,hwcf->...f"
         acc = None
         c0 = 0
         for x in chunks:
             ci = x.shape[-1]
             k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2).astype(dt)
             y = jnp.einsum(
-                "...hwc,hwcf->...f", x.astype(dt), k,
-                preferred_element_type=jnp.float32,
+                eq, x.astype(dt), k, preferred_element_type=jnp.float32
             )
             acc = y if acc is None else acc + y
             c0 += ci
@@ -63,13 +68,15 @@ class DiscriminativeAdaptationNeck(nn.Module):
     dtype: str | None = None  # compute dtype for the FC GEMMs (None = f32)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, *, train: bool = False, chunk_layout: str = "hwnc") -> jnp.ndarray:
         """x: [..., P, P, C] pooled features -> [..., fc_dims[-1]].
 
-        ``x`` may also be a list/tuple of channel chunks ``[..., P, P, c_i]``
-        (the fused pool->fc1 streaming path): fc1 is then applied chunk-wise
-        via the param-compatible ``ChunkedDenseGeneral`` and the concatenated
-        pooled tensor never materializes. Chunked input requires no convs."""
+        ``x`` may also be a list/tuple of channel chunks (the fused
+        pool->fc1 streaming path; layout per ``chunk_layout``, default the
+        Pallas kernel's copy-free ``hwnc`` = [B, P, P, N, c_i]): fc1 is then
+        applied chunk-wise via the param-compatible ``ChunkedDenseGeneral``
+        and the concatenated pooled tensor never materializes. Chunked input
+        requires no convs."""
         chunked = isinstance(x, (list, tuple))
         assert not (chunked and self.conv_dims), "chunked input incompatible with convs"
         for i, d in enumerate(self.conv_dims):
@@ -82,10 +89,14 @@ class DiscriminativeAdaptationNeck(nn.Module):
         for i, d in enumerate(self.fc_dims):
             if i == 0:
                 if chunked:
-                    p1, p2 = x[0].shape[-3:-1]
+                    if chunk_layout == "hwnc":
+                        p1, p2 = x[0].shape[1], x[0].shape[2]
+                    else:
+                        p1, p2 = x[0].shape[-3:-1]
                     c_total = sum(c.shape[-1] for c in x)
                     x = ChunkedDenseGeneral(
-                        d, in_shape=(p1, p2, c_total), dtype=self.dtype, name="fc1"
+                        d, in_shape=(p1, p2, c_total), dtype=self.dtype,
+                        chunk_layout=chunk_layout, name="fc1",
                     )(x)
                 else:
                     # contract (h, w, c) directly — a reshape to [*, h*w*c]

@@ -110,7 +110,7 @@ class ROIPooler:
         return [
             roi_align_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,
-                self.scales[0], self.sampling_ratio,
+                self.scales[0], self.sampling_ratio, True,  # hwnc_out
             )
             for cb in range(0, c, c_take)
         ]

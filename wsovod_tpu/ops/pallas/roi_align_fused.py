@@ -52,7 +52,7 @@ def _fused_kernel(
     rois_ref,  # [B*N*5] SMEM scalar prefetch: x1,y1,x2,y2,gate per ROI
     cbase_ref,  # [1] SMEM: channel base offset of this chunk
     feat_hbm,  # [B, H, W_dma, C] ANY/HBM
-    out_ref,  # [1, RB, P, P, CT] VMEM
+    out_ref,  # [1, P, P, RB, CT] (hwnc) or [1, RB, P, P, CT] VMEM
     full_buf,  # [1, H, W_dma, CT] VMEM resident tile
     sem,  # DMA semaphore
     *,
@@ -67,6 +67,7 @@ def _fused_kernel(
     c_tile: int,
     narrow_enabled: bool,
     precision,
+    hwnc_out: bool,
 ):
     b = pl.program_id(0)
     ct_i = pl.program_id(1)
@@ -76,14 +77,19 @@ def _fused_kernel(
     c0 = pl.multiple_of(cbase_ref[0] + ct_i * c_tile, 128)
 
     # Load this (image, channel-tile) resident tile once; rbi is the
-    # innermost grid dim so the tile persists across all ROI blocks.
+    # innermost grid dim so the tile persists across all ROI blocks. The
+    # buffer has one extra guard row (zeroed) so 2-row slab reads at the
+    # bottom edge stay in bounds with an exactly-zero contribution.
     @pl.when(rbi == 0)
     def _():
         cp = pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(b, 1), :, :, pl.ds(c0, c_tile)], full_buf, sem
+            feat_hbm.at[pl.ds(b, 1), :, :, pl.ds(c0, c_tile)],
+            full_buf.at[:, : h_lim],
+            sem,
         )
         cp.start()
         cp.wait()
+        full_buf[0, h_lim] = jnp.zeros((w_dma, c_tile), full_buf.dtype)
 
     k = p * s
     inv_s2 = 1.0 / float(s * s)
@@ -138,31 +144,58 @@ def _fused_kernel(
                 col == xhi[:, None], wx1[:, None], 0.0
             )  # [k, win]
             bx = wx_mat.reshape(p, s, win).sum(axis=1)  # [p, win]
+            # bf16 features: y-interpolation ON THE MXU via one K=2*win dot
+            # per sample row — the 2-row slab [ylo, ylo+1] is contiguous in
+            # VMEM (the zeroed guard row keeps the bottom edge in bounds with
+            # an exactly-zero wy1 contribution) and the wy weights fold into
+            # the tiny LHS, leaving the VPU with ~1K ops instead of the f32
+            # [win, CT] blend. f32 features keep the exact blended path.
+            bf16_path = full_buf.dtype == jnp.bfloat16
             for kk in range(k):
                 ylo_s, yhi_s, wy0_s, wy1_s = ymeta[kk]
-                if win == w_dma:
-                    row_lo = full_buf[0, ylo_s]
-                    row_hi = full_buf[0, yhi_s]
+                if bf16_path:
+                    if win == w_dma:
+                        slab = full_buf[0, pl.ds(ylo_s, 2)]
+                    else:
+                        slab = full_buf[0, pl.ds(ylo_s, 2), pl.ds(origin, win)]
+                    slab2 = slab.reshape(2 * win, c_tile)
+                    bx2 = jnp.concatenate(
+                        [bx * wy0_s, bx * wy1_s], axis=1
+                    ).astype(jnp.bfloat16)  # [p, 2*win]
+                    contrib = jnp.dot(
+                        bx2, slab2, preferred_element_type=jnp.float32
+                    )
                 else:
-                    row_lo = full_buf[0, ylo_s, pl.ds(origin, win)]
-                    row_hi = full_buf[0, yhi_s, pl.ds(origin, win)]
-                row = (
-                    row_lo.astype(jnp.float32) * wy0_s
-                    + row_hi.astype(jnp.float32) * wy1_s
-                )  # [win, CT]
-                # f32 inputs: force full-precision MXU passes (the TPU default
-                # truncates f32 matmul inputs to bf16 — fine when the features
-                # are bf16 anyway, wrong for the f32 parity path)
-                contrib = jnp.dot(
-                    bx, row, preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
+                    if win == w_dma:
+                        row_lo = full_buf[0, ylo_s]
+                        row_hi = full_buf[0, yhi_s]
+                    else:
+                        row_lo = full_buf[0, ylo_s, pl.ds(origin, win)]
+                        row_hi = full_buf[0, yhi_s, pl.ds(origin, win)]
+                    row = (
+                        row_lo.astype(jnp.float32) * wy0_s
+                        + row_hi.astype(jnp.float32) * wy1_s
+                    )  # [win, CT]
+                    # force full-precision MXU passes (the TPU default
+                    # truncates f32 matmul inputs to bf16)
+                    contrib = jnp.dot(
+                        bx, row, preferred_element_type=jnp.float32,
+                        precision=precision,
+                    )
                 ph = kk // s
                 if kk % s == 0:
                     acc_ref[ph] = contrib
                 else:
                     acc_ref[ph] += contrib
-            out_ref[0, i] = (acc_ref[...] * scale_out).astype(out_ref.dtype)
+            if hwnc_out:
+                # [B, P, P, RB, CT] output: the default layout of this shape
+                # IS the fc1 einsum's preferred operand layout (c minor, then
+                # roi, w, h, b), so XLA inserts no relayout copy downstream
+                out_ref[0, :, :, i] = (acc_ref[...] * scale_out).astype(
+                    out_ref.dtype
+                )
+            else:
+                out_ref[0, i] = (acc_ref[...] * scale_out).astype(out_ref.dtype)
 
         def body(acc_ref):
             if narrow_enabled:
@@ -195,6 +228,7 @@ def _fused_kernel(
         "c_tile",
         "roi_block",
         "interpret",
+        "hwnc_out",
     ),
 )
 def roi_align_fused_batched(
@@ -209,12 +243,15 @@ def roi_align_fused_batched(
     c_tile: int | None = None,
     roi_block: int = 16,
     interpret: bool = False,
+    hwnc_out: bool = False,
 ) -> jnp.ndarray:
     """Pool ``feat[..., c_base:c_base+c_take]`` for every ROI of every image.
 
     Returns ``[B, N, P, P, c_take]`` in ``feat.dtype``, already scaled by
     ``gate``. One compiled program serves every chunk of the same width
-    (``c_base`` is a runtime scalar).
+    (``c_base`` is a runtime scalar). With ``hwnc_out`` the output is
+    ``[B, P, P, N, c_take]`` — physically the layout the chunked-fc1 einsum
+    contracts without a relayout copy (~27 ms/2GB chunk saved).
     """
     b, h, w, c = feat.shape
     n = rois.shape[1]
@@ -224,7 +261,10 @@ def roi_align_fused_batched(
 
     # The ROI table is scalar-prefetched into SMEM (1 MB on v5e). Large
     # batches exceed it -> split into image groups of equal size and concat.
-    smem_budget = 768 * 1024
+    # Splitting costs a 2 GB/chunk concatenate copy downstream, so the budget
+    # is deliberately close to the hardware limit (B=8 @ 5024 ROIs = 803 KB
+    # fits single-call).
+    smem_budget = 960 * 1024
     n_pad_est = n + (-n) % roi_block
     if b * n_pad_est * 5 * 4 > smem_budget:
         g = b
@@ -235,18 +275,21 @@ def roi_align_fused_batched(
                 feat[i : i + g], rois[i : i + g], gate[i : i + g], c_base,
                 output_size=output_size, spatial_scale=spatial_scale,
                 sampling_ratio=sampling_ratio, c_take=c_take, c_tile=c_tile,
-                roi_block=roi_block, interpret=interpret,
+                roi_block=roi_block, interpret=interpret, hwnc_out=hwnc_out,
             )
             for i in range(0, b, g)
         ]
         return jnp.concatenate(parts, axis=0)
 
     if c_tile is None:
-        # largest tile whose resident buffer fits comfortably in VMEM
+        # largest tile whose resident buffer fits in VMEM (~16 MB/core; keep
+        # ~3.5 MB for the out blocks + accumulator). Bigger tiles amortize
+        # the per-ROI scalar metadata across more channels: 512 vs 256
+        # measured 121 vs 164 ms at the COCO bench shape.
         itemsize = 2 if feat.dtype == jnp.bfloat16 else 4
         c_tile = 512
         while c_tile > 128 and (
-            h * (-(-w // 8) * 8) * c_tile * itemsize > 8 * 1024 * 1024
+            (h + 1) * (-(-w // 8) * 8) * c_tile * itemsize > 12_500_000
             or c_take % c_tile != 0
         ):
             c_tile //= 2
@@ -265,16 +308,26 @@ def roi_align_fused_batched(
     rois5 = jnp.concatenate([rois_p, gate_p[..., None]], axis=-1).reshape(-1)
     cbase = jnp.asarray([c_base], jnp.int32)
 
+    if hwnc_out:
+        out_spec = pl.BlockSpec(
+            (1, p, p, roi_block, c_tile),
+            lambda bi, ci, rbi, *_: (bi, 0, 0, rbi, ci),
+        )
+        out_shape_full = (b, p, p, n_pad, c_take)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, roi_block, p, p, c_tile),
+            lambda bi, ci, rbi, *_: (bi, rbi, 0, 0, ci),
+        )
+        out_shape_full = (b, n_pad, p, p, c_take)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, c_take // c_tile, n_pad // roi_block),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, roi_block, p, p, c_tile),
-            lambda bi, ci, rbi, *_: (bi, rbi, 0, 0, ci),
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype),
+            # +1 zeroed guard row for the bottom-edge 2-row slab reads
+            pltpu.VMEM((1, h + 1, w_dma, c_tile), feat.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -295,18 +348,19 @@ def roi_align_fused_batched(
             if feat.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT
         ),
+        hwnc_out=hwnc_out,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, p, p, c_take), feat.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape_full, feat.dtype),
         interpret=interpret or _INTERPRET,
     )(rois5, cbase, feat)
-    return out[:, :n]
+    return out[:, :, :, :n] if hwnc_out else out[:, :n]
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def roi_align_fused_ad(
     feat,  # [B, H, W, C]
@@ -317,6 +371,7 @@ def roi_align_fused_ad(
     output_size: int = 7,
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
+    hwnc_out: bool = False,
 ):
     """Differentiable fused pool+gate. Forward = the Pallas kernel; backward
     computes the feature cotangent by transposing the (linear-in-feat)
@@ -325,24 +380,27 @@ def roi_align_fused_ad(
     return roi_align_fused_batched(
         feat, rois, gate, c_base=c_base, c_take=c_take,
         output_size=output_size, spatial_scale=spatial_scale,
-        sampling_ratio=sampling_ratio,
+        sampling_ratio=sampling_ratio, hwnc_out=hwnc_out,
     )
 
 
-def _fused_ad_fwd(feat, rois, gate, c_base, c_take, output_size, spatial_scale, sampling_ratio):
+def _fused_ad_fwd(feat, rois, gate, c_base, c_take, output_size, spatial_scale, sampling_ratio, hwnc_out):
     out = roi_align_fused_batched(
         feat, rois, gate, c_base=c_base, c_take=c_take,
         output_size=output_size, spatial_scale=spatial_scale,
-        sampling_ratio=sampling_ratio,
+        sampling_ratio=sampling_ratio, hwnc_out=hwnc_out,
     )
     return out, (feat, rois, gate, out)
 
 
-def _fused_ad_bwd(c_base, c_take, output_size, spatial_scale, sampling_ratio, res, g):
+def _fused_ad_bwd(c_base, c_take, output_size, spatial_scale, sampling_ratio, hwnc_out, res, g):
     from ..roi_pool import roi_align
 
     feat, rois, gate, out = res
     c_take = feat.shape[-1] if c_take is None else c_take
+    if hwnc_out:  # [B, P, P, N, CT] -> [B, N, P, P, CT]
+        g = jnp.transpose(g, (0, 3, 1, 2, 4))
+        out = jnp.transpose(out, (0, 3, 1, 2, 4))
 
     gf = g.astype(jnp.float32)
     safe = jnp.where(jnp.abs(gate) > 1e-8, gate, 1.0)
