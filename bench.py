@@ -45,6 +45,7 @@ def main():
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.DAN_FC1_QUANT = os.environ.get("BENCH_FC1_QUANT", "none")
 
     B = int(os.environ.get("BENCH_BATCH", "8"))  # measured sweet spot (B16 is slower)
     H, W = 688, 1056  # typical COCO val shape at shortest-side-688

@@ -164,3 +164,48 @@ def test_mrrp_model_train_and_inference():
         assert np.isfinite(float(v)), k
     det, all_scores, _ = model.apply(params, batch, train=False, embeddings=emb)
     assert np.isfinite(np.asarray(det.scores)[np.asarray(det.valid)]).all()
+
+
+def test_mrrp_vgg_model_train_and_inference():
+    """WSOVOD_MRRP_V_16 combo end-to-end: MRRP VGG16 (plain5 branch-concat),
+    group proposal selection, branch-routed ROIPool (reference
+    configs/COCO-Detection/WSOVOD_MRRP_V_16_DC5_1x.yaml)."""
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/reference/configs/COCO-Detection/WSOVOD_MRRP_V_16_DC5_1x.yaml"
+    )
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [64, 64]
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    # the reference yaml leaves RPN.IN_FEATURES at the base's ["res5"], which
+    # cannot exist on a VGG backbone — the reference build crashes the same
+    # way (d2 input_shape["res5"] KeyError); apply the fix any user needs
+    cfg.MODEL.RPN.IN_FEATURES = ["plain5"]
+    assert cfg.MODEL.BACKBONE.NAME == "build_mrrp_vgg_backbone"
+    # the reference MRRP_V_16 yaml inherits ROIPool from the base (only the
+    # MRRP_WSR variants switch to ROILoopPool)
+    assert cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE == "ROIPool"
+
+    model = build_model(cfg)
+    batch = tiny_batch(b=1, s=6)
+    emb = jnp.asarray(np.random.RandomState(1).randn(5, 16).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True, iteration=jnp.asarray(10, jnp.int32),
+        rng=jax.random.PRNGKey(2), embeddings=emb,
+    )
+    losses = model.apply(
+        params, batch, train=True, iteration=jnp.asarray(10, jnp.int32),
+        rng=jax.random.PRNGKey(3), embeddings=emb,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    det, _, _ = model.apply(params, batch, train=False, embeddings=emb)
+    assert np.isfinite(np.asarray(det.scores)[np.asarray(det.valid)]).all()

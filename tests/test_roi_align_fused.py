@@ -242,3 +242,28 @@ def test_fused_bf16_slab_path():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want), rtol=3e-2, atol=3e-2
     )
+
+
+def test_chunked_fc1_int8_quant_accuracy():
+    """int8 dynamic-quant fc1 vs full precision: small relative error, same
+    params (quant is a pure compute-path switch)."""
+    import flax.linen as nn
+
+    from wsovod_tpu.models.box_head import ChunkedDenseGeneral
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(np.abs(rng.randn(2, 7, 7, 33, 256)).astype(np.float32))
+    dg = nn.DenseGeneral(
+        64, axis=(-3, -2, -1),
+        kernel_init=nn.initializers.normal(0.005),
+        bias_init=nn.initializers.constant(0.1),
+    )
+    params = dg.init(jax.random.PRNGKey(0), jnp.transpose(x, (0, 3, 1, 2, 4)))
+    want = np.asarray(dg.apply(params, jnp.transpose(x, (0, 3, 1, 2, 4))))
+    ch = ChunkedDenseGeneral(64, in_shape=(7, 7, 256), chunk_layout="hwnc", quant="int8")
+    got = np.asarray(ch.apply(params, [x[..., :128], x[..., 128:]]))
+    denom = np.abs(want).max()
+    rel = np.abs(got - want) / max(denom, 1e-8)
+    assert np.percentile(rel, 99) < 0.02, np.percentile(rel, 99)
+    cos = (got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-9)
+    assert cos > 0.999, cos

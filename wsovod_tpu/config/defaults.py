@@ -295,6 +295,10 @@ def get_cfg() -> CN:
     # "gather" = exact XLA-gather ROIAlign; "pallas_approx" = single-window
     # Pallas kernel (fastest, approximate for ROIs larger than the window)
     _C.TPU.ROI_ALIGN_KERNEL = "fused"
+    # "int8": dynamically-quantized DAN fc1 at inference (per-ROI activation
+    # scales, per-column weight scales, int8 MXU matmul — 2x bf16 peak;
+    # p99 rel err ~0.6% on the fc1 output). Default off: parity first.
+    _C.TPU.DAN_FC1_QUANT = "none"
 
     return _C
 

@@ -36,6 +36,10 @@ class ChunkedDenseGeneral(nn.Module):
     in_shape: Tuple[int, int, int]  # (p, p, c_total)
     dtype: str | None = None
     chunk_layout: str = "nhwc"
+    # "int8": dynamic per-ROI activation scales x per-output-column weight
+    # scales, int8 MXU matmul (2x bf16 peak on v5e; measured ~1.4x end-to-end
+    # on fc1 with p99 rel err ~0.6%). Opt-in via TPU.DAN_FC1_QUANT.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, chunks) -> jnp.ndarray:
@@ -45,15 +49,34 @@ class ChunkedDenseGeneral(nn.Module):
         )
         bias = self.param("bias", nn.initializers.constant(0.1), (self.features,))
         dt = jnp.dtype(self.dtype) if self.dtype else chunks[0].dtype
-        eq = "bhwnc,hwcf->bnf" if self.chunk_layout == "hwnc" else "...hwc,hwcf->...f"
+        hwnc = self.chunk_layout == "hwnc"
+        eq = "bhwnc,hwcf->bnf" if hwnc else "...hwc,hwcf->...f"
         acc = None
         c0 = 0
         for x in chunks:
             ci = x.shape[-1]
-            k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2).astype(dt)
-            y = jnp.einsum(
-                eq, x.astype(dt), k, preferred_element_type=jnp.float32
-            )
+            k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
+            if self.quant == "int8":
+                red = (1, 2, 4) if hwnc else tuple(range(x.ndim - 3, x.ndim))
+                ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=red, keepdims=True)
+                s_a = jnp.maximum(ax, 1e-8) / 127.0
+                x_q = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / s_a), -127, 127
+                ).astype(jnp.int8)
+                s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8) / 127.0
+                k_q = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
+                y = jnp.einsum(eq, x_q, k_q, preferred_element_type=jnp.int32)
+                scale = (
+                    jnp.squeeze(s_a, axis=(1, 2))
+                    if hwnc
+                    else jnp.squeeze(s_a, axis=tuple(range(x.ndim - 3, x.ndim - 1)))
+                )  # -> [..., N, 1]
+                y = y.astype(jnp.float32) * scale * s_w
+            else:
+                y = jnp.einsum(
+                    eq, x.astype(dt), k.astype(dt),
+                    preferred_element_type=jnp.float32,
+                )
             acc = y if acc is None else acc + y
             c0 += ci
         assert c0 == c_total, (c0, c_total)
@@ -66,6 +89,7 @@ class DiscriminativeAdaptationNeck(nn.Module):
     conv_norm: str = ""
     dropout_rate: float = 0.5
     dtype: str | None = None  # compute dtype for the FC GEMMs (None = f32)
+    fc1_quant: str = "none"  # "int8" = quantized fc1 at INFERENCE (chunked path)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, chunk_layout: str = "hwnc") -> jnp.ndarray:
@@ -96,7 +120,10 @@ class DiscriminativeAdaptationNeck(nn.Module):
                     c_total = sum(c.shape[-1] for c in x)
                     x = ChunkedDenseGeneral(
                         d, in_shape=(p1, p2, c_total), dtype=self.dtype,
-                        chunk_layout=chunk_layout, name="fc1",
+                        chunk_layout=chunk_layout,
+                        # round() has zero gradient — quant is inference-only
+                        quant=self.fc1_quant if not train else "none",
+                        name="fc1",
                     )(x)
                 else:
                     # contract (h, w, c) directly — a reshape to [*, h*w*c]
@@ -135,4 +162,5 @@ def build_box_head(cfg) -> DiscriminativeAdaptationNeck:
         fc_dims=tuple(cfg.MODEL.ROI_BOX_HEAD.DAN_DIM),
         conv_norm=cfg.MODEL.ROI_BOX_HEAD.NORM,
         dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
+        fc1_quant=cfg.TPU.DAN_FC1_QUANT,
     )

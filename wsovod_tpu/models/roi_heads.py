@@ -97,6 +97,7 @@ class WSOVODROIHeads(nn.Module):
     mrrp_num_branch: int = 3
     cls_agnostic_bbox_known: bool = False
     dtype: str | None = None
+    dan_fc1_quant: str = "none"
     # WSOVOD.BBOX_REFINE: SAM box-prompted refinement of mined pseudo GT
     bbox_refine: bool = False
     sam_img_size: int = 1024
@@ -107,6 +108,7 @@ class WSOVODROIHeads(nn.Module):
             fc_dims=tuple(self.dan_fc_dims),
             conv_norm=self.dan_conv_norm,
             dtype=self.dtype,
+            fc1_quant=self.dan_fc1_quant,
             name=None,
         )
         self.object_miner = ObjectMiningOutputLayers(
@@ -423,5 +425,6 @@ def build_roi_heads(cfg, pooler: ROIPooler) -> WSOVODROIHeads:
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         cls_agnostic_bbox_known=ws.CLS_AGNOSTIC_BBOX_KNOWN,
         dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
+        dan_fc1_quant=cfg.TPU.DAN_FC1_QUANT,
         bbox_refine=ws.BBOX_REFINE.ENABLE,
     )
