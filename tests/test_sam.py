@@ -156,3 +156,26 @@ def test_roi_heads_with_bbox_refine_smoke():
     for v in out.losses.values():
         assert np.isfinite(float(v))
     assert out.proposal_targets is not None
+
+
+def test_vit_attention_chunked_matches_direct():
+    """Blockwise global attention (q row-blocks) == direct attention with the
+    decomposed rel-pos bias (SAM global layers at 64x64 tokens)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from wsovod_tpu.offline.sam.modeling import ViTAttention
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 32).astype(np.float32))
+    att_c = ViTAttention(32, 2, input_size=(64, 64), q_chunk_rows=8)
+    att_d = ViTAttention(32, 2, input_size=(64, 64), q_chunk_rows=0)
+    p = att_c.init(jax.random.PRNGKey(0), x)
+    p = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.random.RandomState(1).randn(*a.shape).astype(a.dtype), p
+    )
+    o_c = att_c.apply(p, x)
+    o_d = att_d.apply(p, x)
+    assert float(jnp.max(jnp.abs(o_c - o_d))) < 1e-4

@@ -48,18 +48,27 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
 
 
 def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
-    """attn [B, qh*qw, kh*kw] += decomposed h/w relative positions."""
+    """attn [B, qh*qw, kh*kw] += decomposed h/w relative positions.
+
+    The rel einsums are arranged to batch over ONE spatial axis so each
+    lowers to well-shaped [b*other_axis, dim] @ [dim, k] matmuls instead of
+    b*axis tiny [axis, dim] @ [dim, k] ones (the naive form cost ~30 ms per
+    SAM global layer on v5e)."""
     qh, qw = q_hw
     kh, kw = k_hw
     rh = _get_rel_pos(qh, kh, rel_pos_h)  # [qh, kh, dim]
     rw = _get_rel_pos(qw, kw, rel_pos_w)
     b, _, dim = q.shape
     r_q = q.reshape(b, qh, qw, dim)
-    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)
-    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)
-    attn = attn.reshape(b, qh, qw, kh, kw)
-    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
-    return attn.reshape(b, qh * qw, kh * kw)
+    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh)  # [b, qh, qw, kh]
+    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw)  # [b, qh, qw, kw]
+    # materialize the bias and add it to attn in FLAT [b, q, k] form: the
+    # broadcast-add on the 5-D reshaped view defeats XLA fusion and cost
+    # ~40 ms/SAM-global-layer vs ~27 for this shape (v5e)
+    bias = (rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]).reshape(
+        b, qh * qw, kh * kw
+    )
+    return attn + bias
 
 
 class ViTAttention(nn.Module):
@@ -67,28 +76,79 @@ class ViTAttention(nn.Module):
     num_heads: int
     use_rel_pos: bool = True
     input_size: Tuple[int, int] = (14, 14)
+    # >0: blockwise attention over query row-blocks — bounds the score
+    # tensor to ~[B*heads, rows*w, h*w] for memory-constrained batches.
+    # Default OFF: on v5e the blocked einsum lowering measured SLOWER than
+    # the direct [B*heads, 4096, 4096] path (33 vs 10 ms without rel-pos);
+    # the global-layer cost was the rel-pos einsum lowering instead (see
+    # add_decomposed_rel_pos).
+    q_chunk_rows: int = 0
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         nh = self.num_heads
+        hd = c // nh
         qkv = nn.Dense(3 * c, name="qkv")(x.reshape(b, h * w, c))
-        qkv = qkv.reshape(b, h * w, 3, nh, c // nh).transpose(2, 0, 3, 1, 4)
-        qkv = qkv.reshape(3, b * nh, h * w, c // nh)
+        qkv = qkv.reshape(b, h * w, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        qkv = qkv.reshape(3, b * nh, h * w, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        scale = (c // nh) ** -0.5
-        attn = (q * scale) @ k.transpose(0, 2, 1)
+        scale = hd ** -0.5
         if self.use_rel_pos:
             rel_h = self.param(
-                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, c // nh)
+                "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, hd)
             )
             rel_w = self.param(
-                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, c // nh)
+                "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, hd)
             )
-            attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (h, w), (h, w))
-        attn = nn.softmax(attn, axis=-1)
-        x = (attn @ v).reshape(b, nh, h * w, c // nh).transpose(0, 2, 1, 3)
-        x = x.reshape(b, h, w, c)
+
+        chunked = (
+            self.q_chunk_rows > 0
+            and h * w >= 4096
+            and h % self.q_chunk_rows == 0
+        )
+        if chunked:
+            r = self.q_chunk_rows
+            nblk = h // r
+            # everything stays 5-D inside the block (no reshapes between the
+            # score einsum, the rel-pos adds, and the softmax) so XLA fuses
+            # the bias+softmax into single passes over the score block
+            q5 = q.reshape(b * nh, nblk, r, w, hd).transpose(1, 0, 2, 3, 4)
+            k4 = k.reshape(b * nh, h, w, hd)
+            v4 = v.reshape(b * nh, h, w, hd)
+            if self.use_rel_pos:
+                rh = _get_rel_pos(h, h, rel_h)  # [h, kh, hd]
+                rw = _get_rel_pos(w, w, rel_w)  # [w, kw, hd]
+                rh_b = rh.reshape(nblk, r, h, hd)
+
+            def blk(args):
+                qb, rhb = args  # [B*nh, r, w, hd], [r, h, hd]
+                attn = jnp.einsum(
+                    "brwd,bkld->brwkl", qb * scale, k4,
+                    preferred_element_type=jnp.float32,
+                )  # [B*nh, r, w, kh, kw]
+                if self.use_rel_pos:
+                    relh = jnp.einsum("brwd,rkd->brwk", qb, rhb)
+                    relw = jnp.einsum("brwd,wkd->brwk", qb, rw)
+                    attn = attn + (
+                        relh[..., :, None] + relw[..., None, :]
+                    ).astype(attn.dtype)
+                m = jnp.max(attn, axis=(3, 4), keepdims=True)
+                e = jnp.exp(attn - m).astype(qb.dtype)
+                out = jnp.einsum("brwkl,bkld->brwd", e, v4)
+                denom = jnp.sum(e.astype(jnp.float32), axis=(3, 4))[..., None]
+                return out / denom.astype(out.dtype)
+
+            rh_arg = rh_b if self.use_rel_pos else jnp.zeros((nblk, 1, 1, 1), q.dtype)
+            out = jax.lax.map(blk, (q5, rh_arg))  # [nblk, B*nh, r, w, hd]
+            x = out.transpose(1, 0, 2, 3, 4).reshape(b, nh, h * w, hd)
+        else:
+            attn = (q * scale) @ k.transpose(0, 2, 1)
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(attn, q, rel_h, rel_w, (h, w), (h, w))
+            attn = nn.softmax(attn, axis=-1)
+            x = (attn @ v).reshape(b, nh, h * w, hd)
+        x = x.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         return nn.Dense(c, name="proj")(x)
 
 
