@@ -57,21 +57,14 @@ def inference_on_dataset(
         )
         return det
 
-    n_images = 0
-    t0 = time.perf_counter()
-    for batch in loader:
-        device_batch = {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
-            if k
-            in ("images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid")
-        }
-        det = forward(params, device_batch)
+    def consume(batch, det):
+        nonlocal n_images
         det = jax.tree_util.tree_map(np.asarray, det)
-
         image_sizes = np.asarray(batch["image_sizes"])
         orig_sizes = np.asarray(batch["orig_size"])
-        batch_valid = np.asarray(batch.get("batch_valid", np.ones(len(image_sizes), bool)))
+        batch_valid = np.asarray(
+            batch.get("batch_valid", np.ones(len(image_sizes), bool))
+        )
         for i in range(len(image_sizes)):
             if not batch_valid[i]:
                 continue
@@ -87,6 +80,26 @@ def inference_on_dataset(
             evaluator.process(
                 batch["image_id"][i], boxes, det.scores[i][v], det.classes[i][v]
             )
+
+    n_images = 0
+    t0 = time.perf_counter()
+    # double-buffered dispatch: fetch batch i's detections only after batch
+    # i+1 is dispatched, so the host-side fetch + evaluator bookkeeping
+    # overlaps device compute instead of serializing with it
+    pending = None
+    for batch in loader:
+        device_batch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k
+            in ("images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid")
+        }
+        det = forward(params, device_batch)
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, det)
+    if pending is not None:
+        consume(*pending)
     dt = time.perf_counter() - t0
     if n_images:
         logger.info("inference done: %d images in %.1fs (%.2f img/s)", n_images, dt, n_images / dt)
