@@ -179,3 +179,47 @@ def test_vit_attention_chunked_matches_direct():
     o_c = att_c.apply(p, x)
     o_d = att_d.apply(p, x)
     assert float(jnp.max(jnp.abs(o_c - o_d))) < 1e-4
+
+
+def test_roi_heads_bbox_refine_prompt_cap():
+    """sam_refine_max_boxes < padded G: valid-first rows are decoded and
+    scattered back; uncapped rows keep their original boxes."""
+    from wsovod_tpu.models.poolers import ROIPooler
+    from wsovod_tpu.models.roi_heads import WSOVODROIHeads
+
+    pooler = ROIPooler(output_size=7, scales=[1.0 / 8], pooler_type="ROIAlignV2")
+    heads = WSOVODROIHeads(
+        num_classes=3, pooler=pooler, dan_fc_dims=(16, 16), refine_k=1,
+        refine_reg=(True,), ov_weight_dim=8, rpn_on=True,
+        bbox_refine=True, sam_img_size=64, sam_refine_max_boxes=2,
+    )
+    rng = np.random.RandomState(0)
+    feats = {"res5": jax.random.normal(KEY, (1, 8, 8, 16))}
+    from wsovod_tpu.structures.instances import Instances
+
+    b = rng.uniform(0, 40, (1, 6, 2))
+    proposals = Instances(
+        jnp.ones((1, 6), bool),
+        proposal_boxes=jnp.asarray(np.concatenate([b, b + 15], -1).astype(np.float32)),
+        objectness_logits=jnp.asarray(rng.rand(1, 6).astype(np.float32)),
+        level_ids=jnp.zeros((1, 6), jnp.int32),
+    )
+    emb = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    sam_embed = jax.random.normal(KEY, (1, 4, 4, 256))
+    sam_scale = jnp.ones((1,))
+    gt_classes = jnp.asarray([[0, 1]])
+    gt_valid = jnp.ones((1, 2), bool)
+    params = heads.init(
+        {"params": KEY, "dropout": jax.random.PRNGKey(1)},
+        feats, proposals, gt_classes, gt_valid,
+        embeddings=emb, rng=jax.random.PRNGKey(2),
+        sam_embed=sam_embed, sam_scale=sam_scale,
+    )
+    out = heads.apply(
+        params, feats, proposals, gt_classes, gt_valid,
+        embeddings=emb, rng=jax.random.PRNGKey(3),
+        sam_embed=sam_embed, sam_scale=sam_scale,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    for v in out.losses.values():
+        assert np.isfinite(float(v))

@@ -175,6 +175,10 @@ def get_cfg() -> CN:
     _C.WSOVOD.BBOX_REFINE.ENABLE = False
     _C.WSOVOD.BBOX_REFINE.MODEL_TYPE = "vit_b"
     _C.WSOVOD.BBOX_REFINE.MODEL_CHECKPOINT = "tools/sam_checkpoints/sam_vit_b_01ec64.pth"
+    # cap on SAM box prompts per image per refine call (the mined-pgt table
+    # is padded to num_classes*top_k rows but only present classes are
+    # valid); 0 = no cap
+    _C.WSOVOD.BBOX_REFINE.MAX_BOXES = 32
 
     # ------------------------------------------------------------- INPUT
     _C.INPUT = CN()

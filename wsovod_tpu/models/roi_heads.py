@@ -101,6 +101,7 @@ class WSOVODROIHeads(nn.Module):
     # WSOVOD.BBOX_REFINE: SAM box-prompted refinement of mined pseudo GT
     bbox_refine: bool = False
     sam_img_size: int = 1024
+    sam_refine_max_boxes: int = 32
 
     def setup(self):
         self.box_head = DiscriminativeAdaptationNeck(
@@ -146,16 +147,33 @@ class WSOVODROIHeads(nn.Module):
 
     def _sam_refine(self, pgt, sam_embed, sam_scale):
         """Refine mined boxes with SAM (reference roi_heads.py:1215-1284);
-        static python loop over the (small) batch dim."""
+        static python loop over the (small) batch dim.
+
+        The mined-pgt table is padded to C*top_k rows (80 for COCO) but only
+        the present classes are valid (~3-8/image), so prompts are capped to
+        the valid-first ``sam_refine_max_boxes`` rows and the refined boxes
+        scattered back — uncapped rows keep their original box, the same
+        fallback the reference uses for degenerate masks."""
         if not self.bbox_refine or sam_embed is None:
             return pgt
+        g = pgt.boxes.shape[1]
+        cap = min(self.sam_refine_max_boxes, g) if self.sam_refine_max_boxes else g
         refined = []
         for b in range(pgt.boxes.shape[0]):
-            refined.append(
-                self.sam_refiner(
-                    sam_embed[b], pgt.boxes[b], pgt.valid[b], sam_scale[b]
+            if cap < g:
+                order = jnp.argsort(~pgt.valid[b], stable=True)  # valid first
+                idx = order[:cap]
+                sub = self.sam_refiner(
+                    sam_embed[b], pgt.boxes[b][idx], pgt.valid[b][idx],
+                    sam_scale[b],
                 )
-            )
+                refined.append(pgt.boxes[b].at[idx].set(sub))
+            else:
+                refined.append(
+                    self.sam_refiner(
+                        sam_embed[b], pgt.boxes[b], pgt.valid[b], sam_scale[b]
+                    )
+                )
         boxes = jnp.stack(refined)
         boxes = jax.lax.stop_gradient(boxes)
         return pgt._replace(boxes=jnp.where(pgt.valid[..., None], boxes, 0.0))
@@ -427,4 +445,5 @@ def build_roi_heads(cfg, pooler: ROIPooler) -> WSOVODROIHeads:
         dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
         dan_fc1_quant=cfg.TPU.DAN_FC1_QUANT,
         bbox_refine=ws.BBOX_REFINE.ENABLE,
+        sam_refine_max_boxes=ws.BBOX_REFINE.MAX_BOXES,
     )
