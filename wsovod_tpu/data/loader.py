@@ -150,8 +150,19 @@ def build_detection_train_loader(
         else None,
     )
     mapper = DatasetMapper(cfg, is_train=True)
+    assert cfg.SOLVER.IMS_PER_BATCH % num_shards == 0, (
+        f"SOLVER.IMS_PER_BATCH={cfg.SOLVER.IMS_PER_BATCH} must divide evenly "
+        f"across {num_shards} hosts (silent flooring would desync the LR "
+        "scaling from the effective global batch)"
+    )
     batch_size = cfg.SOLVER.IMS_PER_BATCH // num_shards
     assert batch_size >= 1
+    if num_shards > 1:
+        # Multi-process SPMD: every host must emit the SAME batch shape each
+        # step (host_local_array_to_global_array + the jitted step require
+        # identical global shapes on all processes). Per-host bucket grouping
+        # would diverge, so collapse to the single largest bucket.
+        mapper.buckets = [max(mapper.buckets, key=lambda b: b[0] * b[1])]
     if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
         sampler = RepeatFactorTrainingSampler(
             dicts, cfg.DATALOADER.REPEAT_THRESHOLD, seed=seed,

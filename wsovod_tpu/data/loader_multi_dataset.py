@@ -142,7 +142,15 @@ def build_multi_dataset_train_loader(cfg, seed: int = 0) -> Iterator[Dict]:
         shard_rank=shard_rank, num_shards=num_shards,
     )
     mapper = DatasetMapper(cfg, is_train=True)
-    batch_sizes = [max(1, b // num_shards) for b in cfg.SOLVER.IMS_PER_BATCH_LIST]
+    for b in cfg.SOLVER.IMS_PER_BATCH_LIST:
+        assert b % num_shards == 0, (
+            f"IMS_PER_BATCH_LIST entry {b} must divide evenly across "
+            f"{num_shards} hosts (silent flooring would desync LR scaling)"
+        )
+    if num_shards > 1:
+        # identical per-step batch shapes on every host (see loader.py)
+        mapper.buckets = [max(mapper.buckets, key=lambda b: b[0] * b[1])]
+    batch_sizes = [b // num_shards for b in cfg.SOLVER.IMS_PER_BATCH_LIST]
     while len(batch_sizes) < len(names):
         batch_sizes.append(batch_sizes[-1])
 

@@ -87,9 +87,10 @@ class ROIPooler:
         """Fused pool+gate for the single-level ROIAlignV2 path (the flagship
         COCO/VOC configs): one image-batched Pallas kernel per channel chunk,
         with the WSOVOD objectness gate ``(objectness+1)*valid`` folded into
-        the kernel output. Returns ``[B, P, S, S, c_i]`` chunks meant to be
-        streamed straight into the DAN's chunked fc1 (the ~1 GB/image pooled
-        tensor never materializes), or None when this path doesn't apply."""
+        the kernel output. Returns hwnc-layout ``[B, S, S, P, c_i]`` chunks
+        (pair with DAN ``chunk_layout='hwnc'``) meant to be streamed straight
+        into the DAN's chunked fc1 (the ~1 GB/image pooled tensor never
+        materializes), or None when this path doesn't apply."""
         if self.pooler_type != "ROIAlignV2" or self.roi_align_kernel != "fused":
             return None
         if self.triple or len(features) != 1:

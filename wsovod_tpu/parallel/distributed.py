@@ -46,7 +46,10 @@ def initialize_from_args(
     )
     if num_machines <= 1 and not auto_env:
         return
-    if jax.process_count() > 1:  # already initialized
+    # Must not touch the XLA backend before initialize(): jax.process_count()
+    # would instantiate the local backend and make initialize() raise. Use the
+    # client-state query instead (advisor round-2 high finding).
+    if jax.distributed.is_initialized():
         return
     kwargs = {}
     if dist_url and dist_url != "auto":
