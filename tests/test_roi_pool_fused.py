@@ -1,0 +1,303 @@
+"""Fused image-batched resident-tile max-pool kernels (ROIPool/ROILoopPool)
+vs the jnp references, plus the int8 emission path and the model-level
+fused-chunk wiring.
+
+Interpret mode on CPU; the same code paths run compiled on TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsovod_tpu.ops.pallas import roi_pool_fused as rpf
+from wsovod_tpu.ops.roi_pool import roi_loop_pool, roi_pool
+
+
+def _mk(seed, b=2, h=20, w=29, c=128, n=24, wide_frac=0.3):
+    rng = np.random.RandomState(seed)
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    xy = rng.uniform(0, 90, (b, n, 2))
+    wh = rng.uniform(2, 40, (b, n, 2))
+    wide = rng.rand(b, n, 1) < wide_frac
+    wh = np.where(wide, rng.uniform(60, 140, (b, n, 2)), wh)
+    rois = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    # edge cases: full-frame, degenerate, right/bottom edge, pad rows
+    rois[0, 0] = [0, 0, 4 * w, 4 * h]
+    rois[0, 1] = [50, 50, 50, 50]
+    rois[0, 2] = [4 * w - 30, 4, 4 * w - 1, 60]
+    rois[0, 3] = [3, 4 * h - 20, 40, 4 * h - 1]
+    gate = rng.uniform(0.5, 2.0, (b, n)).astype(np.float32)
+    gate[:, -2:] = 0.0
+    rois[:, -2:] = 0.0
+    return jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(gate)
+
+
+def _ref_plain(feat, rois, gate, scale):
+    ref = jnp.stack(
+        [roi_pool(feat[b], rois[b], 7, scale) for b in range(feat.shape[0])]
+    )
+    return np.asarray(ref * gate[:, :, None, None, None])
+
+
+def _ref_loop(feat, rois, gate, scale):
+    ref = jnp.stack(
+        [roi_loop_pool(feat[b], rois[b], 7, scale) for b in range(feat.shape[0])],
+        axis=1,
+    )
+    return np.asarray(ref * gate[None, :, :, None, None, None])
+
+
+@pytest.mark.parametrize("scale", [0.25, 0.125])
+def test_fused_roi_pool_exact(scale):
+    feat, rois, gate = _mk(0)
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=scale, interpret=True
+    )
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2, 4))
+    want = _ref_plain(feat, rois, gate, scale)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_roi_pool_bf16_exact():
+    # max is exact in bf16: fused bf16 == reference over the same bf16 values
+    feat, rois, gate = _mk(1)
+    fb = feat.astype(jnp.bfloat16)
+    out = rpf.roi_pool_fused_batched(
+        fb, rois, gate, spatial_scale=0.25, interpret=True
+    )
+    got = np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2, 4))
+    want = _ref_plain(fb.astype(jnp.float32), rois, gate, 0.25)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.parametrize("scale", [0.25])
+def test_fused_roi_loop_pool_exact(scale):
+    feat, rois, gate = _mk(2)
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=scale, loop_pool=True, interpret=True
+    )
+    got = np.transpose(np.asarray(out), (0, 1, 4, 2, 3, 5))
+    want = _ref_loop(feat, rois, gate, scale)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_pool_channel_chunking():
+    feat, rois, gate = _mk(3, c=256)
+    full = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, interpret=True
+    )
+    lo = rpf.roi_pool_fused_batched(
+        feat, rois, gate, 0, c_take=128, spatial_scale=0.25, interpret=True
+    )
+    hi = rpf.roi_pool_fused_batched(
+        feat, rois, gate, 128, c_take=128, spatial_scale=0.25, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full), np.asarray(jnp.concatenate([lo, hi], axis=-1))
+    )
+
+
+def test_fused_pool_narrow_image():
+    # W smaller than the narrow window: wide-only static path
+    rng = np.random.RandomState(4)
+    feat = jnp.asarray(rng.randn(1, 12, 9, 128).astype(np.float32))
+    rois = jnp.asarray([[[2.0, 3.0, 30.0, 40.0], [0.0, 0.0, 36.0, 48.0]]])
+    gate = jnp.ones((1, 2), jnp.float32)
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, interpret=True
+    )
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2, 4))
+    np.testing.assert_array_equal(got, _ref_plain(feat, rois, gate, 0.25))
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_fused_pool_int8_emission(loop):
+    feat, rois, gate = _mk(5, n=16)
+    q, s = rpf.roi_pool_fused_batched(
+        feat, rois, gate, quant="int8", loop_pool=loop, spatial_scale=0.25,
+        interpret=True,
+    )
+    assert q.dtype == jnp.int8
+    if loop:
+        recon = np.asarray(q).astype(np.float32) * np.asarray(s)[:, :, 0, None, None, :, None]
+        recon = np.transpose(recon, (0, 1, 4, 2, 3, 5))
+        want = _ref_loop(feat, rois, gate, 0.25)
+        denom = np.maximum(np.abs(want).max(axis=(3, 4, 5), keepdims=True), 1e-6)
+    else:
+        recon = np.asarray(q).astype(np.float32) * np.asarray(s)[:, 0, None, None, :, None]
+        recon = np.transpose(recon, (0, 3, 1, 2, 4))
+        want = _ref_plain(feat, rois, gate, 0.25)
+        denom = np.maximum(np.abs(want).max(axis=(2, 3, 4), keepdims=True), 1e-6)
+    assert (np.abs(recon - want) / denom).max() < 1.0 / 127.0
+    # pad rows: zero scale -> zero reconstruction
+    assert np.all(np.asarray(s)[..., -2:] == 0.0)
+
+
+def test_fused_align_int8_emission():
+    from wsovod_tpu.ops.pallas.roi_align_fused import roi_align_fused_batched
+    from wsovod_tpu.ops.roi_pool import roi_align
+
+    feat, rois, gate = _mk(6, n=16)
+    q, s = roi_align_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, hwnc_out=True, quant="int8",
+        interpret=True,
+    )
+    assert q.dtype == jnp.int8
+    recon = np.asarray(q).astype(np.float32) * np.asarray(s)[:, 0, None, None, :, None]
+    recon = np.transpose(recon, (0, 3, 1, 2, 4))
+    ref = jnp.stack(
+        [
+            roi_align(feat[b], rois[b], 7, 0.25, sampling_ratio=2)
+            for b in range(feat.shape[0])
+        ]
+    )
+    want = np.asarray(ref * gate[:, :, None, None, None])
+    denom = np.maximum(np.abs(want).max(axis=(2, 3, 4), keepdims=True), 1e-6)
+    assert (np.abs(recon - want) / denom).max() < 1.5 / 127.0
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_fused_pool_ad_grads(loop):
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(7)
+        feat, rois, gate_raw = _mk(7, n=8, h=14, w=18)
+        valid = jnp.asarray(rng.rand(2, 8) > 0.25)
+        gate = (gate_raw + 1.0) * valid
+        rois = jnp.where(valid[..., None], rois, 0.0)
+
+        def f_fused(f, g):
+            o = rpf.roi_pool_fused_ad(f, rois, g, 0, None, 7, 0.25, loop, 1.8)
+            return jnp.sum(o * jnp.arange(o.size).reshape(o.shape) * 1e-3)
+
+        def f_ref(f, g):
+            if loop:
+                pooled = jnp.stack(
+                    [roi_loop_pool(f[b], rois[b], 7, 0.25) for b in range(2)],
+                    axis=1,
+                )
+                o = pooled * g[None, :, :, None, None, None]
+                o = jnp.transpose(o, (0, 1, 3, 4, 2, 5))
+            else:
+                pooled = jnp.stack(
+                    [roi_pool(f[b], rois[b], 7, 0.25) for b in range(2)]
+                )
+                o = pooled * g[:, :, None, None, None]
+                o = jnp.transpose(o, (0, 2, 3, 1, 4))
+            return jnp.sum(o * jnp.arange(o.size).reshape(o.shape) * 1e-3)
+
+        assert np.allclose(f_fused(feat, gate), f_ref(feat, gate), rtol=1e-5)
+        gf1, gg1 = jax.grad(f_fused, (0, 1))(feat, gate)
+        gf2, gg2 = jax.grad(f_ref, (0, 1))(feat, gate)
+        np.testing.assert_allclose(
+            np.asarray(gf1), np.asarray(gf2), rtol=1e-4, atol=1e-4
+        )
+        v = np.asarray(valid)
+        np.testing.assert_allclose(
+            np.asarray(gg1)[v], np.asarray(gg2)[v], rtol=1e-4, atol=1e-3
+        )
+        assert np.all(np.asarray(gg1)[~v] == 0.0)
+    finally:
+        rpf._INTERPRET = False
+
+
+def test_chunked_fc1_prequantized_tuples():
+    """ChunkedDenseGeneral with (int8, scale) tuple chunks reproduces the
+    full-precision result within int8 tolerance; triple (6-d) chunks match
+    per-region application of the plain DenseGeneral."""
+    import flax.linen as nn
+
+    from wsovod_tpu.models.box_head import ChunkedDenseGeneral
+
+    rng = np.random.RandomState(8)
+    x = np.abs(rng.randn(2, 7, 7, 17, 256)).astype(np.float32)  # hwnc
+    dg = nn.DenseGeneral(
+        64, axis=(-3, -2, -1),
+        kernel_init=nn.initializers.normal(0.005),
+        bias_init=nn.initializers.constant(0.1),
+    )
+    x_nhwc = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2, 4))
+    params = dg.init(jax.random.PRNGKey(0), x_nhwc)
+    want = np.asarray(dg.apply(params, x_nhwc))
+
+    def quantize(chunk):  # per-ROI maxabs over (h, w, c)
+        maxabs = np.abs(chunk).max(axis=(1, 2, 4))
+        scale = np.maximum(maxabs, 1e-20) / 127.0
+        q = np.round(chunk / scale[:, None, None, :, None]).astype(np.int8)
+        return jnp.asarray(q), jnp.asarray(scale.astype(np.float32))
+
+    ch = ChunkedDenseGeneral(64, in_shape=(7, 7, 256), chunk_layout="hwnc")
+    got = np.asarray(
+        ch.apply(params, [quantize(x[..., :128]), quantize(x[..., 128:])])
+    )
+    denom = np.abs(want).max()
+    assert np.percentile(np.abs(got - want) / denom, 99) < 0.02
+
+    # triple 6-d bf16 chunks == DenseGeneral applied per region
+    x3 = rng.randn(3, 2, 7, 7, 17, 256).astype(np.float32)
+    x3_nhwc = jnp.transpose(jnp.asarray(x3), (0, 1, 4, 2, 3, 5))
+    want3 = np.asarray(dg.apply(params, x3_nhwc))
+    got3 = np.asarray(
+        ch.apply(params, [jnp.asarray(x3[..., :128]), jnp.asarray(x3[..., 128:])])
+    )
+    np.testing.assert_allclose(got3, want3, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pooler_type", ["ROIPool", "ROILoopPool", "ROIAlignV2"])
+def test_model_level_fused_chunk_wiring(pooler_type, monkeypatch):
+    """fused_chunk_pool -> ChunkedDenseGeneral reproduces the unfused
+    pooler+gate+DenseGeneral DAN path at the module level (the wiring the
+    flagship configs run on TPU)."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    import wsovod_tpu.ops.pallas.roi_align_fused as raf
+
+    raf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(9)
+        b, h, w, c, n = 2, 14, 18, 256, 12
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 40, (b, n, 2))
+        wh = rng.uniform(4, 30, (b, n, 2))
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, n) > 0.2)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        rois = jnp.where(valid[..., None], rois, 0.0)
+
+        pooler = ROIPooler(
+            7, scales=[0.25], pooler_type=pooler_type, roi_align_kernel="fused"
+        )
+        dan = DiscriminativeAdaptationNeck(fc_dims=(32,))
+        chunks = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
+        assert chunks is not None and len(chunks) >= 1
+        params = dan.init(jax.random.PRNGKey(0), chunks, train=False)
+        got = np.asarray(dan.apply(params, chunks, train=False))
+
+        # unfused reference: jnp pool + external gate + plain DAN
+        from wsovod_tpu.ops.roi_pool import roi_align
+
+        if pooler_type == "ROIPool":
+            pooled = jnp.stack([roi_pool(feat[i], rois[i], 7, 0.25) for i in range(b)])
+        elif pooler_type == "ROILoopPool":
+            pooled = jnp.stack(
+                [roi_loop_pool(feat[i], rois[i], 7, 0.25) for i in range(b)], axis=1
+            )
+        else:
+            pooled = jnp.stack(
+                [roi_align(feat[i], rois[i], 7, 0.25, sampling_ratio=2) for i in range(b)]
+            )
+        gate = ((obj + 1.0) * valid).astype(pooled.dtype)
+        if pooler.triple:
+            pooled = pooled * gate[None, :, :, None, None, None]
+        else:
+            pooled = pooled * gate[:, :, None, None, None]
+        want = np.asarray(dan.apply(params, pooled, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    finally:
+        rpf._INTERPRET = False
+        raf._INTERPRET = False

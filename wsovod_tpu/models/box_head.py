@@ -29,8 +29,14 @@ class ChunkedDenseGeneral(nn.Module):
     proposal budget). Partial products accumulate in f32.
 
     Chunk layouts: ``nhwc`` = ``[B, N, p, p, c_i]``; ``hwnc`` =
-    ``[B, p, p, N, c_i]`` — the latter is the Pallas fused-pool output whose
-    default physical layout the einsum contracts copy-free on TPU."""
+    ``[B, p, p, N, c_i]`` (or ``[3, B, p, p, N, c_i]`` for ROILoopPool's
+    triple rows) — the Pallas fused-pool output whose default physical layout
+    the einsum contracts copy-free on TPU.
+
+    A chunk may also be a ``(int8 payload, per-ROI scale)`` tuple — the
+    fused pooling kernels' pre-quantized emission (hwnc only): the int8 GEMM
+    then runs directly on the payload with the activation scale applied to
+    the int32 product, no quantize pass here."""
 
     features: int
     in_shape: Tuple[int, int, int]  # (p, p, c_total)
@@ -38,7 +44,7 @@ class ChunkedDenseGeneral(nn.Module):
     chunk_layout: str = "nhwc"
     # "int8": dynamic per-ROI activation scales x per-output-column weight
     # scales, int8 MXU matmul (2x bf16 peak on v5e; measured ~1.4x end-to-end
-    # on fc1 with p99 rel err ~0.6%). Opt-in via TPU.DAN_FC1_QUANT.
+    # on fc1 with p99 rel err ~0.6%). Set via TPU.DAN_FC1_QUANT.
     quant: str = "none"
 
     @nn.compact
@@ -48,16 +54,37 @@ class ChunkedDenseGeneral(nn.Module):
             "kernel", nn.initializers.normal(0.005), (p1, p2, c_total, self.features)
         )
         bias = self.param("bias", nn.initializers.constant(0.1), (self.features,))
-        dt = jnp.dtype(self.dtype) if self.dtype else chunks[0].dtype
+        first = chunks[0][0] if isinstance(chunks[0], tuple) else chunks[0]
+        dt = jnp.dtype(self.dtype) if self.dtype else (
+            first.dtype if first.dtype != jnp.int8 else jnp.bfloat16
+        )
         hwnc = self.chunk_layout == "hwnc"
-        eq = "bhwnc,hwcf->bnf" if hwnc else "...hwc,hwcf->...f"
+        if hwnc:
+            eq = "rbhwnc,hwcf->rbnf" if first.ndim == 6 else "bhwnc,hwcf->bnf"
+        else:
+            eq = "...hwc,hwcf->...f"
         acc = None
         c0 = 0
-        for x in chunks:
+        for item in chunks:
+            pre_q = isinstance(item, tuple)
+            x = item[0] if pre_q else item
             ci = x.shape[-1]
             k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
-            if self.quant == "int8":
-                red = (1, 2, 4) if hwnc else tuple(range(x.ndim - 3, x.ndim))
+            if pre_q:
+                # fused-kernel int8 payload + scale (gate folded into scale)
+                assert hwnc, "pre-quantized chunks are hwnc-layout only"
+                s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8) / 127.0
+                k_q = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
+                y = jnp.einsum(eq, x, k_q, preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * item[1][..., None] * s_w
+            elif self.quant == "int8":
+                # per-ROI activation scale: reduce over (h, w, c), keep
+                # leading [(3,) B] and the N axis
+                red = (
+                    (x.ndim - 4, x.ndim - 3, x.ndim - 1)
+                    if hwnc
+                    else tuple(range(x.ndim - 3, x.ndim))
+                )
                 ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=red, keepdims=True)
                 s_a = jnp.maximum(ax, 1e-8) / 127.0
                 x_q = jnp.clip(
@@ -66,11 +93,12 @@ class ChunkedDenseGeneral(nn.Module):
                 s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8) / 127.0
                 k_q = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
                 y = jnp.einsum(eq, x_q, k_q, preferred_element_type=jnp.int32)
-                scale = (
-                    jnp.squeeze(s_a, axis=(1, 2))
-                    if hwnc
-                    else jnp.squeeze(s_a, axis=tuple(range(x.ndim - 3, x.ndim - 1)))
-                )  # -> [..., N, 1]
+                if hwnc:
+                    scale = jnp.squeeze(s_a, axis=(x.ndim - 4, x.ndim - 3))
+                else:
+                    scale = jnp.squeeze(
+                        s_a, axis=tuple(range(x.ndim - 3, x.ndim - 1))
+                    )
                 y = y.astype(jnp.float32) * scale * s_w
             else:
                 y = jnp.einsum(
@@ -113,11 +141,16 @@ class DiscriminativeAdaptationNeck(nn.Module):
         for i, d in enumerate(self.fc_dims):
             if i == 0:
                 if chunked:
+                    first = x[0][0] if isinstance(x[0], tuple) else x[0]
                     if chunk_layout == "hwnc":
-                        p1, p2 = x[0].shape[1], x[0].shape[2]
+                        # [(3,) B, p, p, N, c_i] (or int8-payload tuples)
+                        p1, p2 = first.shape[-4], first.shape[-3]
                     else:
-                        p1, p2 = x[0].shape[-3:-1]
-                    c_total = sum(c.shape[-1] for c in x)
+                        p1, p2 = first.shape[-3:-1]
+                    c_total = sum(
+                        (c[0] if isinstance(c, tuple) else c).shape[-1]
+                        for c in x
+                    )
                     x = ChunkedDenseGeneral(
                         d, in_shape=(p1, p2, c_total), dtype=self.dtype,
                         chunk_layout=chunk_layout,

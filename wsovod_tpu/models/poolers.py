@@ -53,6 +53,7 @@ class ROIPooler:
         canonical_box_size: float = 224.0,
         canonical_level: int = 4,
         roi_align_kernel: str = "gather",
+        fc1_quant: str = "none",
     ):
         self.output_size = output_size
         self.scales = list(scales)
@@ -63,6 +64,7 @@ class ROIPooler:
         self.canonical_box_size = canonical_box_size
         self.canonical_level = canonical_level
         self.roi_align_kernel = roi_align_kernel
+        self.fc1_quant = fc1_quant
 
     @property
     def triple(self) -> bool:
@@ -83,38 +85,104 @@ class ROIPooler:
         boxes: jnp.ndarray,  # [B, P, 4]
         objectness: jnp.ndarray,  # [B, P]
         valid: jnp.ndarray,  # [B, P]
-    ) -> Optional[List[jnp.ndarray]]:
-        """Fused pool+gate for the single-level ROIAlignV2 path (the flagship
-        COCO/VOC configs): one image-batched Pallas kernel per channel chunk,
+        train: bool = False,
+    ) -> Optional[List]:
+        """Fused pool+gate for the single-level shipped pooler types
+        (``ROIPool`` — the flagship configs, ``ROILoopPool`` — MRRP,
+        ``ROIAlignV2``): one image-batched Pallas kernel per channel chunk,
         with the WSOVOD objectness gate ``(objectness+1)*valid`` folded into
-        the kernel output. Returns hwnc-layout ``[B, S, S, P, c_i]`` chunks
-        (pair with DAN ``chunk_layout='hwnc'``) meant to be streamed straight
+        the kernel output. Returns hwnc-layout ``[(3,) B, S, S, P, c_i]``
+        chunks (pair with DAN ``chunk_layout='hwnc'``; leading 3 for
+        ROILoopPool's ROI/frame/context rows) meant to be streamed straight
         into the DAN's chunked fc1 (the ~1 GB/image pooled tensor never
-        materializes), or None when this path doesn't apply."""
-        if self.pooler_type != "ROIAlignV2" or self.roi_align_kernel != "fused":
+        materializes), or None when this path doesn't apply.
+
+        At inference with ``fc1_quant='int8'`` the kernels emit pre-quantized
+        ``(int8 payload, per-ROI scale)`` tuples — the quantize pass and its
+        HBM round-trip disappear into the pooling epilogue."""
+        if self.roi_align_kernel != "fused" or len(features) != 1:
             return None
-        if self.triple or len(features) != 1:
+        if self.pooler_type not in ("ROIPool", "ROILoopPool", "ROIAlignV2"):
             return None
         feat = features[0]
         if self.mrrp_on and feat.shape[0] != boxes.shape[0]:
-            return None
+            return None  # MRRP branch-concat layout: per-branch fallback path
         c = feat.shape[-1]
         if not self._on_tpu() or c % 128 != 0:
             return None
-        from ..ops.pallas.roi_align_fused import roi_align_fused_ad
 
         gate = ((objectness + 1.0) * valid.astype(objectness.dtype)).astype(
             jnp.float32
         )
         boxes = jnp.where(valid[..., None], boxes, 0.0).astype(jnp.float32)
-        c_take = 512 if c % 512 == 0 else c  # 4x512 measured fastest at C=2048
+        # quantized emission is inference-only (round() has zero gradient)
+        quant = "int8" if (self.fc1_quant == "int8" and not train) else "none"
+        # chunk width = the kernel's native c_tile so int8 scales are
+        # per-(ROI, chunk); 512 measured fastest at C=2048 (loop pool: 256,
+        # its two extra band buffers halve the VMEM budget)
+        c_unit = 256 if self.pooler_type == "ROILoopPool" else 512
+        c_take = c_unit if c % c_unit == 0 else c
+        if quant == "int8" and c % c_unit != 0:
+            quant = "none"  # per-chunk scales need chunk == c_tile
+
+        if self.pooler_type == "ROIAlignV2":
+            from ..ops.pallas.roi_align_fused import (
+                roi_align_fused_ad,
+                roi_align_fused_batched,
+            )
+
+            if quant == "int8":
+                return [
+                    self._squeeze_scale(
+                        roi_align_fused_batched(
+                            feat, boxes, gate, cb, c_take=c_take,
+                            output_size=self.output_size,
+                            spatial_scale=self.scales[0],
+                            sampling_ratio=self.sampling_ratio,
+                            hwnc_out=True, quant="int8",
+                        )
+                    )
+                    for cb in range(0, c, c_take)
+                ]
+            return [
+                roi_align_fused_ad(
+                    feat, boxes, gate, cb, c_take, self.output_size,
+                    self.scales[0], self.sampling_ratio, True,  # hwnc_out
+                )
+                for cb in range(0, c, c_take)
+            ]
+
+        from ..ops.pallas.roi_pool_fused import (
+            roi_pool_fused_ad,
+            roi_pool_fused_batched,
+        )
+
+        loop = self.pooler_type == "ROILoopPool"
+        if quant == "int8":
+            return [
+                self._squeeze_scale(
+                    roi_pool_fused_batched(
+                        feat, boxes, gate, cb, c_take=c_take,
+                        output_size=self.output_size,
+                        spatial_scale=self.scales[0], loop_pool=loop,
+                        quant="int8",
+                    )
+                )
+                for cb in range(0, c, c_take)
+            ]
         return [
-            roi_align_fused_ad(
+            roi_pool_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,
-                self.scales[0], self.sampling_ratio, True,  # hwnc_out
+                self.scales[0], loop, 1.8,
             )
             for cb in range(0, c, c_take)
         ]
+
+    @staticmethod
+    def _squeeze_scale(pair):
+        """(payload, scales [(3,) B, n_ct=1, N]) -> (payload, [(3,) B, N])."""
+        payload, scales = pair
+        return payload, jnp.squeeze(scales, axis=-2)
 
     def _pool_one_level(self, feat, boxes, scale):
         """feat [H, W, C], boxes [P, 4] -> [P, S, S, C] or [3, P, S, S, C]."""
@@ -269,4 +337,5 @@ def build_pooler(cfg, strides: Sequence[int]) -> ROIPooler:
         mrrp_on=cfg.MODEL.MRRP.MRRP_ON,
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         roi_align_kernel=cfg.TPU.ROI_ALIGN_KERNEL,
+        fc1_quant=cfg.TPU.DAN_FC1_QUANT,
     )

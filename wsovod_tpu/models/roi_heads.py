@@ -198,6 +198,7 @@ class WSOVODROIHeads(nn.Module):
                 proposals.proposal_boxes,
                 proposals.objectness_logits,
                 proposals.valid,
+                train=train,
             )
             if not self.dan_conv_dims
             else None

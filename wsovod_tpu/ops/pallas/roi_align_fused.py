@@ -53,6 +53,7 @@ def _fused_kernel(
     cbase_ref,  # [1] SMEM: channel base offset of this chunk
     feat_hbm,  # [B, H, W_dma, C] ANY/HBM
     out_ref,  # [1, P, P, RB, CT] (hwnc) or [1, RB, P, P, CT] VMEM
+    scale_ref,  # [1, 1, RB] VMEM int8 scales, or None (bf16 path)
     full_buf,  # [1, H, W_dma, CT] VMEM resident tile
     sem,  # DMA semaphore
     *,
@@ -68,6 +69,7 @@ def _fused_kernel(
     narrow_enabled: bool,
     precision,
     hwnc_out: bool,
+    quant: str = "none",
 ):
     b = pl.program_id(0)
     ct_i = pl.program_id(1)
@@ -187,7 +189,17 @@ def _fused_kernel(
                     acc_ref[ph] = contrib
                 else:
                     acc_ref[ph] += contrib
-            if hwnc_out:
+            if quant == "int8":
+                # fused int8 emission: per-(ROI, chunk) maxabs of the raw
+                # accumulator; gate and 1/s^2 fold into the emitted scale so
+                # the payload itself is gate-free
+                acc = acc_ref[...]
+                maxabs = jnp.max(jnp.abs(acc))
+                inv = jnp.where(maxabs > 1e-20, 127.0 / maxabs, 0.0)
+                q = jnp.round(acc * inv).astype(jnp.int8)
+                out_ref[0, :, :, i] = q
+                scale_ref[0, 0, i] = scale_out * maxabs * (1.0 / 127.0)
+            elif hwnc_out:
                 # [B, P, P, RB, CT] output: the default layout of this shape
                 # IS the fc1 einsum's preferred operand layout (c minor, then
                 # roi, w, h, b), so XLA inserts no relayout copy downstream
@@ -229,6 +241,7 @@ def _fused_kernel(
         "roi_block",
         "interpret",
         "hwnc_out",
+        "quant",
     ),
 )
 def roi_align_fused_batched(
@@ -241,9 +254,10 @@ def roi_align_fused_batched(
     sampling_ratio: int = 2,
     c_take: int | None = None,  # channels pooled in this call (chunk width)
     c_tile: int | None = None,
-    roi_block: int = 16,
+    roi_block: int | None = None,
     interpret: bool = False,
     hwnc_out: bool = False,
+    quant: str = "none",
 ) -> jnp.ndarray:
     """Pool ``feat[..., c_base:c_base+c_take]`` for every ROI of every image.
 
@@ -252,12 +266,20 @@ def roi_align_fused_batched(
     (``c_base`` is a runtime scalar). With ``hwnc_out`` the output is
     ``[B, P, P, N, c_take]`` — physically the layout the chunked-fc1 einsum
     contracts without a relayout copy (~27 ms/2GB chunk saved).
+
+    ``quant='int8'`` (requires ``hwnc_out``) emits the int8 payload plus
+    per-(ROI, c-tile) scales ``[B, c_take//c_tile, N]`` f32 with the gate and
+    1/s^2 normalization folded in — returns ``(payload, scales)``.
     """
     b, h, w, c = feat.shape
     n = rois.shape[1]
     p = output_size
     s = max(sampling_ratio, 1)
     c_take = c if c_take is None else c_take
+    if roi_block is None:
+        roi_block = 32 if quant == "int8" else 16  # int8 min tile: 32 sublanes
+    if quant == "int8":
+        assert hwnc_out, "int8 emission implemented for the hwnc layout only"
 
     # The ROI table is scalar-prefetched into SMEM (1 MB on v5e). Large
     # batches exceed it -> split into image groups of equal size and concat.
@@ -276,9 +298,15 @@ def roi_align_fused_batched(
                 output_size=output_size, spatial_scale=spatial_scale,
                 sampling_ratio=sampling_ratio, c_take=c_take, c_tile=c_tile,
                 roi_block=roi_block, interpret=interpret, hwnc_out=hwnc_out,
+                quant=quant,
             )
             for i in range(0, b, g)
         ]
+        if quant == "int8":
+            return (
+                jnp.concatenate([x[0] for x in parts], axis=0),
+                jnp.concatenate([x[1] for x in parts], axis=0),
+            )
         return jnp.concatenate(parts, axis=0)
 
     if c_tile is None:
@@ -308,6 +336,8 @@ def roi_align_fused_batched(
     rois5 = jnp.concatenate([rois_p, gate_p[..., None]], axis=-1).reshape(-1)
     cbase = jnp.asarray([c_base], jnp.int32)
 
+    n_ct = c_take // c_tile
+    out_dtype = jnp.int8 if quant == "int8" else feat.dtype
     if hwnc_out:
         out_spec = pl.BlockSpec(
             (1, p, p, roi_block, c_tile),
@@ -320,11 +350,20 @@ def roi_align_fused_batched(
             lambda bi, ci, rbi, *_: (bi, rbi, 0, 0, ci),
         )
         out_shape_full = (b, n_pad, p, p, c_take)
+    out_specs = [out_spec]
+    out_shapes = [jax.ShapeDtypeStruct(out_shape_full, out_dtype)]
+    if quant == "int8":
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, roi_block), lambda bi, ci, rbi, *_: (bi, ci, rbi)
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, n_ct, n_pad), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, c_take // c_tile, n_pad // roi_block),
+        grid=(b, n_ct, n_pad // roi_block),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=out_spec,
+        out_specs=out_specs if quant == "int8" else out_specs[0],
         scratch_shapes=[
             # +1 zeroed guard row for the bottom-edge 2-row slab reads
             pltpu.VMEM((1, h + 1, w_dma, c_tile), feat.dtype),
@@ -349,13 +388,25 @@ def roi_align_fused_batched(
             else jax.lax.Precision.DEFAULT
         ),
         hwnc_out=hwnc_out,
+        quant=quant,
     )
+
+    def kernel_entry(rois_s, cbase_s, feat_ref, *rest):
+        if quant == "int8":
+            out_r, scale_r, full, sem_ = rest
+        else:
+            (out_r, full, sem_) = rest
+            scale_r = None
+        kernel(rois_s, cbase_s, feat_ref, out_r, scale_r, full, sem_)
+
     out = pl.pallas_call(
-        kernel,
+        kernel_entry,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape_full, feat.dtype),
+        out_shape=out_shapes if quant == "int8" else out_shapes[0],
         interpret=interpret or _INTERPRET,
     )(rois5, cbase, feat)
+    if quant == "int8":
+        return out[0][:, :, :, :n], out[1][..., :n]
     return out[:, :, :, :n] if hwnc_out else out[:, :n]
 
 

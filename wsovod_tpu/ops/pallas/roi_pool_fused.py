@@ -1,0 +1,557 @@
+"""Image-batched, resident-tile Pallas max ROI pooling (ROIPool/ROILoopPool)
+with fused objectness gate and optional fused int8 emission.
+
+Round-3 extension of the ``roi_align_fused`` design to the pooler types the
+shipped configs actually use (reference ``configs/*/Base-RCNN-DilatedC5.yaml``
+``POOLER_TYPE: ROIPool``; MRRP configs ``ROILoopPool``). Semantics:
+
+* ``ROIPool`` — torchvision exact max RoIPool (rounded integer region, ``+1``
+  width, floor/ceil integer bin edges, empty bins -> 0), as validated against
+  ``wsovod_tpu.ops.roi_pool.roi_pool``.
+* ``ROILoopPool`` — the triple ROI/frame/context pool of the reference's
+  ``wsovod/layers/ROILoopPool/ROILoopPool_cuda.cu:10-203``: region (a) the
+  ROI, (b) the ROI minus the strict interior of the ROI shrunk by
+  ``context_ratio``, (c) the ROI grown by ``context_ratio`` minus the strict
+  interior of the ROI; all three with maxval initialised to 0.
+
+Design (shared with ``roi_align_fused``):
+
+* **Resident feature tile**: one ``[H, W, c_tile]`` DMA per (image, c-tile),
+  persisting across all ROI blocks (rbi is the innermost grid dim).
+* **Image-batched**: one ``pallas_call`` per channel chunk for the whole
+  batch; ROI tables ride SMEM scalar prefetch.
+* **Gate folding**: outputs are scaled by the prefetched per-ROI
+  ``gate = (objectness + 1) * valid`` (bf16 path), or the gate is folded into
+  the emitted per-ROI int8 scale (quant path) so the payload itself is
+  gate-free.
+* **hwnc output**: ``[B, P, P, N, c_tile]`` — physically the chunked-fc1
+  einsum's preferred operand layout (no relayout copy downstream).
+* **int8 emission** (``quant='int8'``): the kernel computes the per-(ROI,
+  chunk) maxabs of the pooled values, emits ``round(v * 127 / maxabs)`` as
+  int8 plus a per-ROI scale ``gate * maxabs / 127`` — the downstream fc1
+  int8 GEMM then needs no separate quantize pass over the pooled tensor.
+
+Max is exact in the feature dtype (the result is always one of the inputs),
+so stage buffers stay in ``feat.dtype`` — bf16 halves the VPU traffic with
+zero numeric change vs an f32 walk over the same bf16 features.
+
+Per-ROI structure: integer bin edges are computed as scalars (SMEM ROI
+coords -> scalar core); stage A walks each output row's feature rows once
+(dynamic-trip ``fori``) folding them into a band ``[P, win, CT]``; stage B is
+a vectorized masked max over the band per output column. Narrow ROIs use an
+8-aligned 64-wide x-window slice of the resident tile; wide ones the full
+row (the split is decided in-kernel, an exact partition).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -3.0e38  # representable in bf16 and f32
+POOL_WIN = 64  # narrow x-window (feature px) for plain ROIPool
+LOOP_WIN = 96  # narrow x-window for ROILoopPool (covers the 1.8x outer box)
+
+# Flipped by CPU tests to run the kernels (incl. the AD wrappers, whose
+# custom_vjp signatures have no room for an interpret arg) in interpret mode.
+_INTERPRET = False
+
+
+def _round_scalar(x):
+    return jnp.floor(x + 0.5).astype(jnp.int32)
+
+
+def _region_meta(x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim):
+    """Rounded integer region + per-bin [lo, hi) edges as python lists of
+    traced scalars (torchvision convention; exact integer floor/ceil)."""
+    rx1 = _round_scalar(x1 * spatial_scale)
+    ry1 = _round_scalar(y1 * spatial_scale)
+    rx2 = _round_scalar(x2 * spatial_scale)
+    ry2 = _round_scalar(y2 * spatial_scale)
+    rw = jnp.maximum(rx2 - rx1 + 1, 1)
+    rh = jnp.maximum(ry2 - ry1 + 1, 1)
+    hlo = [jnp.clip((ph * rh) // p + ry1, 0, h_lim) for ph in range(p)]
+    hhi = [jnp.clip(-((-(ph + 1) * rh) // p) + ry1, 0, h_lim) for ph in range(p)]
+    wlo = [jnp.clip((pw * rw) // p + rx1, 0, w_lim) for pw in range(p)]
+    whi = [jnp.clip(-((-(pw + 1) * rw) // p) + rx1, 0, w_lim) for pw in range(p)]
+    return rx1, rw, hlo, hhi, wlo, whi
+
+
+def _fold_rows(full_buf, band, band2, hlo, hhi, x0, wd, win, p, row_cond=None):
+    """Stage A: walk each bin's feature rows once, folding row ``[wd, CT]``
+    maxes into ``band[ph, :wd]``; if ``band2``/``row_cond`` are given, also
+    fold rows satisfying ``row_cond(h)`` into ``band2[ph, :wd]`` (shared
+    loads). ``win`` selects the windowed (dynamic 8-aligned ``x0``) or
+    full-row load path; ``wd`` is the static band width."""
+    for ph in range(p):
+        def body(h, _, ph=ph):
+            if win is None:
+                row = full_buf[0, h]
+            else:
+                row = full_buf[0, h, pl.ds(x0, win)]
+            band[ph, :wd] = jnp.maximum(band[ph, :wd], row)
+            if band2 is not None:
+                @pl.when(row_cond(h))
+                def _():
+                    band2[ph, :wd] = jnp.maximum(band2[ph, :wd], row)
+            return 0
+
+        jax.lax.fori_loop(hlo[ph], hhi[ph], body, 0, unroll=False)
+
+
+def _band_max(band, wd, col, wlo, whi, p, hole_x=None):
+    """Stage B: per-bin masked max over the band's x axis -> [P, P, CT].
+
+    ``hole_x=(hx1, hx2)`` additionally restricts columns to the strict
+    outside of the hole's column span (``col <= hx1 | col >= hx2``)."""
+    bv = band[:, :wd]  # [P, wd, CT]
+    neg = bv.dtype.type(NEG)
+    outs = []
+    for pw in range(p):
+        m = jnp.logical_and(col >= wlo[pw], col < whi[pw])  # [wd, 1]
+        if hole_x is not None:
+            m = jnp.logical_and(
+                m, jnp.logical_or(col <= hole_x[0], col >= hole_x[1])
+            )
+        masked = jnp.where(m[None], bv, neg)
+        outs.append(jnp.max(masked, axis=1))  # [P(ph), CT]
+    return jnp.stack(outs, axis=1)  # [P(ph), P(pw), CT]
+
+
+def _clipf(v, lim):
+    return jnp.clip(v, 0.0, lim)
+
+
+def _write_out(out_ref, scale_ref, regions, gate, i, ct_i, quant):
+    """Epilogue: gate-and-write (bf16) or quantize-and-write (int8).
+
+    ``regions``: list of [P, P, CT] pooled values (pre-gate). For int8 the
+    gate folds into the emitted scale, keeping the payload gate-free."""
+    triple = len(regions) > 1
+    if quant == "int8":
+        for r, vals in enumerate(regions):
+            v32 = vals.astype(jnp.float32)
+            maxabs = jnp.max(jnp.abs(v32))
+            inv = jnp.where(maxabs > 1e-20, 127.0 / maxabs, 0.0)
+            q = jnp.round(v32 * inv).astype(jnp.int8)
+            if triple:
+                out_ref[r, 0, :, :, i] = q
+                scale_ref[r, 0, 0, i] = gate * maxabs * (1.0 / 127.0)
+            else:
+                out_ref[0, :, :, i] = q
+                scale_ref[0, 0, i] = gate * maxabs * (1.0 / 127.0)
+    else:
+        for r, vals in enumerate(regions):
+            gated = (vals.astype(jnp.float32) * gate).astype(out_ref.dtype)
+            if triple:
+                out_ref[r, 0, :, :, i] = gated
+            else:
+                out_ref[0, :, :, i] = gated
+
+
+def _fused_pool_kernel(
+    rois_ref,  # [B*N_pad*5] SMEM: x1,y1,x2,y2,gate per ROI
+    cbase_ref,  # [1] SMEM channel base of this chunk
+    feat_hbm,  # [B, H, W_dma, C] ANY/HBM
+    out_ref,  # [(3,) 1, P, P, RB, CT] VMEM
+    scale_ref,  # [(3,) 1, 1, RB] VMEM (quant) or None-like dummy
+    full_buf,  # [1, H, W_dma, CT] VMEM resident tile
+    band_a,  # [P, W_band, CT] feat-dtype scratch
+    band_b,  # same (loop pool only) or None
+    sem,
+    *,
+    p: int,
+    spatial_scale: float,
+    roi_block: int,
+    n_pad: int,
+    h_lim: int,
+    w_lim: int,
+    w_dma: int,
+    c_tile: int,
+    win: int,
+    narrow_enabled: bool,
+    loop_pool: bool,
+    context_ratio: float,
+    quant: str,
+):
+    b = pl.program_id(0)
+    ct_i = pl.program_id(1)
+    rbi = pl.program_id(2)
+    c0 = pl.multiple_of(cbase_ref[0] + ct_i * c_tile, 128)
+
+    @pl.when(rbi == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            feat_hbm.at[pl.ds(b, 1), :, :, pl.ds(c0, c_tile)], full_buf, sem
+        )
+        cp.start()
+        cp.wait()
+
+    neg = full_buf.dtype.type(NEG)
+
+    for i in range(roi_block):
+        r = b * n_pad + rbi * roi_block + i
+        x1 = rois_ref[r * 5 + 0]
+        y1 = rois_ref[r * 5 + 1]
+        x2 = rois_ref[r * 5 + 2]
+        y2 = rois_ref[r * 5 + 3]
+        gate = rois_ref[r * 5 + 4]
+
+        if not loop_pool:
+            rx1, rw, hlo, hhi, wlo, whi = _region_meta(
+                x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
+            )
+
+            def compute(x0, w_sl, wlo=wlo, whi=whi, hlo=hlo, hhi=hhi):
+                wd = w_sl or w_dma
+                band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
+                _fold_rows(full_buf, band_a, None, hlo, hhi, x0, wd, w_sl, p)
+                col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                pooled = _band_max(band_a, wd, col, wlo, whi, p)
+                # empty bins -> 0 (torchvision convention)
+                pooled = jnp.where(
+                    pooled <= neg / 2, 0.0, pooled.astype(jnp.float32)
+                )
+                _write_out(out_ref, scale_ref, [pooled], gate, i, ct_i, quant)
+
+            if narrow_enabled:
+                narrow = rw <= win - 7
+                x0 = jnp.clip(rx1, 0, w_dma - win)
+                x0 = pl.multiple_of((x0 // 8) * 8, 8)
+
+                @pl.when(narrow)
+                def _():
+                    compute(x0, win)
+
+                @pl.when(jnp.logical_not(narrow))
+                def _():
+                    compute(jnp.int32(0), None)
+            else:
+                compute(jnp.int32(0), None)
+        else:
+            # ---- ROILoopPool: ROI / frame / context ------------------------
+            img_h = h_lim / spatial_scale
+            img_w = w_lim / spatial_scale
+            rw_f = x2 - x1
+            rh_f = y2 - y1
+            in_dw = (rw_f - rw_f / context_ratio) * 0.5
+            in_dh = (rh_f - rh_f / context_ratio) * 0.5
+            out_dw = (rw_f * context_ratio - rw_f) * 0.5
+            out_dh = (rh_f * context_ratio - rh_f) * 0.5
+            # inner box (clipped, image coords) -> rounded strict interior
+            ixa = _round_scalar(_clipf(x1 + in_dw, img_w) * spatial_scale)
+            iya = _round_scalar(_clipf(y1 + in_dh, img_h) * spatial_scale)
+            ixb = _round_scalar(_clipf(x2 - in_dw, img_w) * spatial_scale)
+            iyb = _round_scalar(_clipf(y2 - in_dh, img_h) * spatial_scale)
+            # ROI hole (unclipped, matching the reference kernel)
+            rxa = _round_scalar(x1 * spatial_scale)
+            rya = _round_scalar(y1 * spatial_scale)
+            rxb = _round_scalar(x2 * spatial_scale)
+            ryb = _round_scalar(y2 * spatial_scale)
+            # outer box (clipped)
+            xo1 = _clipf(x1 - out_dw, img_w)
+            yo1 = _clipf(y1 - out_dh, img_h)
+            xo2 = _clipf(x2 + out_dw, img_w)
+            yo2 = _clipf(y2 + out_dh, img_h)
+
+            rx1_r, rw_r, hlo_r, hhi_r, wlo_r, whi_r = _region_meta(
+                x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
+            )
+            rx1_o, rw_o, hlo_o, hhi_o, wlo_o, whi_o = _region_meta(
+                xo1, yo1, xo2, yo2, spatial_scale, p, h_lim, w_lim
+            )
+
+            def compute_loop(x0, w_sl):
+                wd = w_sl or w_dma
+                init = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
+                col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+
+                # walk 1: ROI rows -> band_a (all), band_b (outside inner)
+                band_a[:, :wd] = init
+                band_b[:, :wd] = init
+                _fold_rows(
+                    full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
+                    row_cond=lambda h: jnp.logical_or(h <= iya, h >= iyb),
+                )
+                pooled_roi = _band_max(band_a, wd, col, wlo_r, whi_r, p)
+                f1 = _band_max(
+                    band_a, wd, col, wlo_r, whi_r, p, hole_x=(ixa, ixb)
+                )
+                f2 = _band_max(band_b, wd, col, wlo_r, whi_r, p)
+                # maxval starts at 0 in the reference kernel (inputs >= 0)
+                roi_v = jnp.maximum(pooled_roi.astype(jnp.float32), 0.0)
+                frame_v = jnp.maximum(
+                    jnp.maximum(f1, f2).astype(jnp.float32), 0.0
+                )
+
+                # walk 2: outer rows -> band_a (all), band_b (outside ROI)
+                band_a[:, :wd] = init
+                band_b[:, :wd] = init
+                _fold_rows(
+                    full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
+                    row_cond=lambda h: jnp.logical_or(h <= rya, h >= ryb),
+                )
+                c1 = _band_max(
+                    band_a, wd, col, wlo_o, whi_o, p, hole_x=(rxa, rxb)
+                )
+                c2 = _band_max(band_b, wd, col, wlo_o, whi_o, p)
+                ctx_v = jnp.maximum(jnp.maximum(c1, c2).astype(jnp.float32), 0.0)
+
+                _write_out(
+                    out_ref, scale_ref, [roi_v, frame_v, ctx_v], gate, i,
+                    ct_i, quant,
+                )
+
+            if narrow_enabled:
+                narrow = rw_o <= win - 7
+                x0 = jnp.clip(rx1_o, 0, w_dma - win)
+                x0 = pl.multiple_of((x0 // 8) * 8, 8)
+
+                @pl.when(narrow)
+                def _():
+                    compute_loop(x0, win)
+
+                @pl.when(jnp.logical_not(narrow))
+                def _():
+                    compute_loop(jnp.int32(0), None)
+            else:
+                compute_loop(jnp.int32(0), None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
+        "loop_pool", "context_ratio", "quant", "interpret",
+    ),
+)
+def roi_pool_fused_batched(
+    feat: jnp.ndarray,  # [B, H, W, C]
+    rois: jnp.ndarray,  # [B, N, 4] image-coord XYXY
+    gate: jnp.ndarray,  # [B, N] per-ROI output scale ((obj+1)*valid; pads 0)
+    c_base=0,  # dynamic scalar: first channel of this chunk
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    c_take: int | None = None,
+    c_tile: int | None = None,
+    roi_block: int | None = None,
+    loop_pool: bool = False,
+    context_ratio: float = 1.8,
+    quant: str = "none",
+    interpret: bool = False,
+):
+    """Max-pool ``feat[..., c_base:c_base+c_take]`` for every ROI of every
+    image; hwnc output.
+
+    Returns (bf16/f32 path) ``[(3,) B, P, P, N, c_take]`` in ``feat.dtype``,
+    already scaled by ``gate``; or (``quant='int8'``) a tuple of the int8
+    payload (same shape) and per-(ROI, c-tile) scales
+    ``[(3,) B, n_ct, N]`` f32 with the gate folded in.
+    """
+    b, h, w, c = feat.shape
+    n = rois.shape[1]
+    p = output_size
+    c_take = c if c_take is None else c_take
+    if roi_block is None:
+        roi_block = 32 if quant == "int8" else 16  # int8 min tile: 32 sublanes
+
+    smem_budget = 960 * 1024
+    n_pad_est = n + (-n) % roi_block
+    if b * n_pad_est * 5 * 4 > smem_budget:
+        g = b
+        while g > 1 and (g * n_pad_est * 5 * 4 > smem_budget or b % g != 0):
+            g -= 1
+        parts = [
+            roi_pool_fused_batched(
+                feat[i : i + g], rois[i : i + g], gate[i : i + g], c_base,
+                output_size=output_size, spatial_scale=spatial_scale,
+                c_take=c_take, c_tile=c_tile, roi_block=roi_block,
+                loop_pool=loop_pool, context_ratio=context_ratio, quant=quant,
+                interpret=interpret,
+            )
+            for i in range(0, b, g)
+        ]
+        ax = 1 if loop_pool else 0
+        if quant == "int8":
+            return (
+                jnp.concatenate([x[0] for x in parts], axis=ax),
+                jnp.concatenate([x[1] for x in parts], axis=ax),
+            )
+        return jnp.concatenate(parts, axis=ax)
+
+    if c_tile is None:
+        itemsize = 2 if feat.dtype == jnp.bfloat16 else 4
+        c_tile = 256 if loop_pool else 512  # loop pool: 2 extra band buffers
+        while c_tile > 128 and (
+            h * (-(-w // 8) * 8) * c_tile * itemsize > 12_500_000
+            or c_take % c_tile != 0
+        ):
+            c_tile //= 2
+    assert c_take % c_tile == 0, (c_take, c_tile)
+    assert c_tile % 128 == 0, c_tile
+    n_ct = c_take // c_tile
+
+    w_dma = -(-w // 8) * 8
+    if w_dma != w:
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, w_dma - w), (0, 0)))
+    win = LOOP_WIN if loop_pool else POOL_WIN
+    narrow_enabled = w_dma > win
+
+    pad = (-n) % roi_block
+    n_pad = n + pad
+    rois_p = jnp.pad(rois.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    gate_p = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, pad)))
+    rois5 = jnp.concatenate([rois_p, gate_p[..., None]], axis=-1).reshape(-1)
+    cbase = jnp.asarray([c_base], jnp.int32)
+
+    tri = (3,) if loop_pool else ()
+    out_dtype = jnp.int8 if quant == "int8" else feat.dtype
+    nd = len(tri)
+    out_spec = pl.BlockSpec(
+        tri + (1, p, p, roi_block, c_tile),
+        lambda bi, ci, rbi, *_: (0,) * nd + (bi, 0, 0, rbi, ci),
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct(tri + (b, p, p, n_pad, c_take), out_dtype)
+    ]
+    out_specs = [out_spec]
+    if quant == "int8":
+        out_specs.append(
+            pl.BlockSpec(
+                tri + (1, 1, roi_block),
+                lambda bi, ci, rbi, *_: (0,) * nd + (bi, ci, rbi),
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(tri + (b, n_ct, n_pad), jnp.float32)
+        )
+
+    # the band must hold the full row for the wide-ROI path; narrow ROIs use
+    # its leading [:, :win] slice
+    w_band = w_dma
+    scratch = [
+        pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype),
+        pltpu.VMEM((p, w_band, c_tile), feat.dtype),
+    ]
+    scratch.append(
+        pltpu.VMEM((p, w_band, c_tile), feat.dtype) if loop_pool else None
+    )
+    scratch = [s for s in scratch if s is not None]
+    scratch.append(pltpu.SemaphoreType.DMA)
+
+    def kernel_entry(rois_s, cbase_s, feat_ref, *rest):
+        if quant == "int8":
+            out_r, scale_r = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            out_r, scale_r = rest[0], None
+            rest = rest[1:]
+        if loop_pool:
+            full, ba, bb, sem_ = rest
+        else:
+            full, ba, sem_ = rest
+            bb = None
+        _fused_pool_kernel(
+            rois_s, cbase_s, feat_ref, out_r, scale_r, full, ba, bb, sem_,
+            p=p, spatial_scale=spatial_scale, roi_block=roi_block,
+            n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
+            win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
+            context_ratio=context_ratio, quant=quant,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_ct, n_pad // roi_block),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs if quant == "int8" else out_specs[0],
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel_entry,
+        grid_spec=grid_spec,
+        out_shape=out_shapes if quant == "int8" else out_shapes[0],
+        interpret=interpret or _INTERPRET,
+    )(rois5, cbase, feat)
+    if quant == "int8":
+        vals, scales = out
+        return vals[..., :n, :], scales[..., :n]
+    return out[..., :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def roi_pool_fused_ad(
+    feat,  # [B, H, W, C]
+    rois,  # [B, N, 4]
+    gate,  # [B, N] ((objectness+1)*valid; exactly 0 on pads)
+    c_base: int = 0,
+    c_take: int | None = None,
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    loop_pool: bool = False,
+    context_ratio: float = 1.8,
+):
+    """Differentiable fused max pool + gate (bf16/f32 path; the int8 path is
+    inference-only and called via ``roi_pool_fused_batched`` directly).
+    Backward: gate cotangent from the saved output (gate >= 1 on valid rows);
+    feature cotangent via ``jax.vjp`` of the jnp reference pool — traced but
+    DCE'd whenever the backbone is frozen (every shipped config)."""
+    return roi_pool_fused_batched(
+        feat, rois, gate, c_base=c_base, c_take=c_take,
+        output_size=output_size, spatial_scale=spatial_scale,
+        loop_pool=loop_pool, context_ratio=context_ratio,
+    )
+
+
+def _pool_ad_fwd(feat, rois, gate, c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio):
+    out = roi_pool_fused_batched(
+        feat, rois, gate, c_base=c_base, c_take=c_take,
+        output_size=output_size, spatial_scale=spatial_scale,
+        loop_pool=loop_pool, context_ratio=context_ratio,
+    )
+    return out, (feat, rois, gate, out)
+
+
+def _pool_ad_bwd(c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio, res, g):
+    from ..roi_pool import roi_loop_pool, roi_pool
+
+    feat, rois, gate, out = res
+    c_take = feat.shape[-1] if c_take is None else c_take
+    # hwnc [(3,) B, P, P, N, CT] -> [(3,) B, N, P, P, CT]
+    perm = (0, 1, 4, 2, 3, 5) if loop_pool else (0, 3, 1, 2, 4)
+    g_n = jnp.transpose(g, perm).astype(jnp.float32)
+    out_n = jnp.transpose(out, perm).astype(jnp.float32)
+
+    sum_axes = tuple(range(g_n.ndim - 3, g_n.ndim)) + ((0,) if loop_pool else ())
+    safe = jnp.where(jnp.abs(gate) > 1e-8, gate, 1.0)
+    g_gate = jnp.where(
+        jnp.abs(gate) > 1e-8,
+        jnp.sum(g_n * out_n, axis=sum_axes) / safe,
+        0.0,
+    ).astype(gate.dtype)
+
+    def pool_fn(f):
+        fs = jax.lax.slice_in_dim(f, c_base, c_base + c_take, axis=-1)
+        per_img = []
+        for bi in range(rois.shape[0]):
+            if loop_pool:
+                pooled = roi_loop_pool(
+                    fs[bi], rois[bi], output_size, spatial_scale,
+                    context_ratio=context_ratio,
+                )  # [3, N, P, P, CT]
+            else:
+                pooled = roi_pool(fs[bi], rois[bi], output_size, spatial_scale)
+            per_img.append(pooled)
+        stacked = jnp.stack(per_img, axis=1 if loop_pool else 0)
+        gx = gate[:, :, None, None, None].astype(stacked.dtype)
+        return stacked * (gx[None] if loop_pool else gx)
+
+    _, vjp = jax.vjp(pool_fn, feat)
+    (g_feat,) = vjp(g_n.astype(feat.dtype))
+    return g_feat, None, g_gate
+
+
+roi_pool_fused_ad.defvjp(_pool_ad_fwd, _pool_ad_bwd)

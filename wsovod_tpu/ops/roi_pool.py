@@ -57,8 +57,12 @@ def _bin_edges(start: jnp.ndarray, size: jnp.ndarray, pooled: int, limit: int):
 
 
 def _round_region(rois: jnp.ndarray, spatial_scale: float):
-    """Rounded integer region (start, size) per axis, torchvision convention."""
-    r = jnp.round(rois * spatial_scale).astype(jnp.int32)
+    """Rounded integer region (start, size) per axis, torchvision convention.
+
+    torchvision/the CUDA reference use C ``round`` (half away from zero);
+    for the non-negative coords of this pipeline ``floor(x + 0.5)`` matches
+    exactly — ``jnp.round`` would round half-to-even (12.5 -> 12)."""
+    r = jnp.floor(rois * spatial_scale + 0.5).astype(jnp.int32)
     x1, y1, x2, y2 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
     w = jnp.maximum(x2 - x1 + 1, 1)
     h = jnp.maximum(y2 - y1 + 1, 1)
@@ -188,7 +192,8 @@ def roi_loop_pool(
         return row_in, col_in
 
     def _ints(box):
-        r = jnp.round(box * spatial_scale).astype(jnp.int32)
+        # C round (half away from zero) for non-negative coords
+        r = jnp.floor(box * spatial_scale + 0.5).astype(jnp.int32)
         return r[:, 0], r[:, 1], r[:, 2], r[:, 3]
 
     row_roi, col_roi = _bins(rois)
