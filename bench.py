@@ -39,13 +39,15 @@ def main():
     cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 1e-5
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 2048
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1024
-    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    # the pooler the shipped flagship configs use (Base-RCNN-DilatedC5.yaml:
+    # ROIPool); override with BENCH_POOLER=ROIAlignV2/ROILoopPool to compare
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = os.environ.get("BENCH_POOLER", "ROIPool")
     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7  # d2 default is 14; WSOVOD uses 7
     cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE = True
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
-    cfg.TPU.DAN_FC1_QUANT = os.environ.get("BENCH_FC1_QUANT", "none")
+    cfg.TPU.DAN_FC1_QUANT = os.environ.get("BENCH_FC1_QUANT", cfg.TPU.DAN_FC1_QUANT)
 
     B = int(os.environ.get("BENCH_BATCH", "8"))  # measured sweet spot (B16 is slower)
     H, W = 688, 1056  # typical COCO val shape at shortest-side-688
@@ -96,10 +98,14 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = B * iters / dt
+    pooler = cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip WSR-50-DC5 inference (688px, 4000 proposals)",
+                "metric": (
+                    "images/sec/chip WSR-50-DC5 inference "
+                    f"(688px, 4000 proposals, {pooler})"
+                ),
                 "value": round(img_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 4),

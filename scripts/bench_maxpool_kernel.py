@@ -1,0 +1,110 @@
+# Dispatch-loop microbench for the fused max-pool kernels (ROIPool/ROILoopPool)
+"""Honest dispatch-loop timing at the COCO bench shape (B=8, 86x132x2048,
+5024 ROIs). Compares bf16 vs fused-int8 emission and the pool->fc1 chain.
+
+Usage: python scripts/bench_maxpool_kernel.py [smoke|pool|loop|chain|all]
+"""
+import sys, time, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np, jax, jax.numpy as jnp
+from wsovod_tpu.ops.pallas.roi_pool_fused import roi_pool_fused_batched
+from wsovod_tpu.ops.pallas.roi_align_fused import roi_align_fused_batched
+
+mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+iters = 10
+C, scale = 2048, 1.0 / 8
+B, N = 8, 5024
+if mode == "smoke":
+    B, N, C = 2, 64, 256
+
+feat = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(0), (B, 86, 132, C), jnp.bfloat16))()
+xy = jax.random.uniform(jax.random.PRNGKey(1), (B, N, 2), minval=0, maxval=634)
+wh = jax.random.uniform(jax.random.PRNGKey(2), (B, N, 2), minval=8, maxval=300)
+rois = jnp.concatenate([xy, xy + wh], -1).astype(jnp.float32)
+gate = jnp.ones((B, N), jnp.float32)
+kern = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(9), (7, 7, C, 4096), jnp.bfloat16) * 0.005)()
+
+
+def fetch(o):
+    leaf = jax.tree_util.tree_leaves(o)[0]
+    idx = tuple(0 for _ in leaf.shape)
+    np.asarray(leaf[idx])
+
+
+def timeit(name, fn, *args):
+    out = fn(*args); fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    fetch(out)
+    print(f"{name}: {(time.perf_counter()-t0)/iters*1000:.2f} ms", flush=True)
+
+
+def pool_only(ct, loop=False, quant="none"):
+    @jax.jit
+    def f(feat, rois, gate):
+        acc = None
+        for cb in range(0, C, ct):
+            r = roi_pool_fused_batched(
+                feat, rois, gate, cb, c_take=ct, spatial_scale=scale,
+                loop_pool=loop, quant=quant,
+            )
+            x = r[0] if quant == "int8" else r
+            v = x[tuple(0 for _ in x.shape)].astype(jnp.float32)
+            acc = v if acc is None else acc + v
+        return acc
+    return f
+
+
+def chain(ct, loop=False, quant="none"):
+    @jax.jit
+    def f(feat, rois, gate, kern):
+        acc = None
+        for cb in range(0, C, ct):
+            r = roi_pool_fused_batched(
+                feat, rois, gate, cb, c_take=ct, spatial_scale=scale,
+                loop_pool=loop, quant=quant,
+            )
+            ks = jax.lax.slice_in_dim(kern, cb, cb + ct, axis=2)
+            eq = "rbhwnc,hwcf->rbnf" if loop else "bhwnc,hwcf->bnf"
+            if quant == "int8":
+                payload, s = r
+                s_w = jnp.max(jnp.abs(ks), axis=(0, 1, 2)) / 127.0
+                k_q = jnp.clip(jnp.round(ks / s_w), -127, 127).astype(jnp.int8)
+                y = jnp.einsum(eq, payload, k_q, preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * jnp.squeeze(s, -2)[..., None] * s_w
+            else:
+                y = jnp.einsum(eq, r, ks, preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+        return acc[tuple(0 for _ in acc.shape)]
+    return f
+
+
+if mode == "smoke":
+    for loop in (False, True):
+        for quant in ("none", "int8"):
+            ct = 256 if loop else 512
+            r = pool_only(ct, loop, quant)(feat, rois, gate)
+            fetch(r)
+            print(f"smoke loop={loop} quant={quant}: ok", flush=True)
+    sys.exit(0)
+
+if mode in ("pool", "all"):
+    timeit("roipool  bf16 ct512 (pool-only)", pool_only(512), feat, rois, gate)
+    timeit("roipool  int8 ct512 (pool-only)", pool_only(512, quant="int8"), feat, rois, gate)
+if mode in ("align", "all"):
+    @jax.jit
+    def align_only(feat, rois, gate):
+        acc = None
+        for cb in range(0, C, 512):
+            r = roi_align_fused_batched(feat, rois, gate, cb, c_take=512, spatial_scale=scale, hwnc_out=True)
+            v = r[0, 0, 0, 0, 0].astype(jnp.float32)
+            acc = v if acc is None else acc + v
+        return acc
+    timeit("align    bf16 ct512 (pool-only)", align_only, feat, rois, gate)
+if mode in ("loop", "all"):
+    timeit("looppool bf16 ct256 (pool-only)", pool_only(256, loop=True), feat, rois, gate)
+    timeit("looppool int8 ct256 (pool-only)", pool_only(256, loop=True, quant="int8"), feat, rois, gate)
+if mode in ("chain", "all"):
+    timeit("roipool->fc1 bf16 (chain)", chain(512), feat, rois, gate, kern)
+    timeit("roipool->fc1 int8 (chain)", chain(512, quant="int8"), feat, rois, gate, kern)

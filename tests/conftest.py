@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest
 
-# Two test tiers (VERDICT r1 #9): `-m unit` gates every commit (~90 s),
-# `-m integration` is the per-round 10+ min tier (whole-model compiles).
+# Two test tiers (VERDICT r1 #9): `-m unit` gates every commit (~10 min on
+# this 1-core host), `-m integration` is the per-round ~15 min tier
+# (whole-model compiles / interpret-mode Pallas).
 _INTEGRATION_MODULES = {
     "test_end_to_end",
     "test_more_integration",
@@ -32,6 +33,8 @@ _INTEGRATION_MODULES = {
     "test_pallas_roi_pool",
     "test_weight_import",
     "test_clip_text",
+    "test_roi_pool_fused",  # interpret-mode Pallas: minutes per case
+    "test_multiprocess",  # spawns 2 jax.distributed CPU processes
 }
 
 

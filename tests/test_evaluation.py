@@ -142,3 +142,69 @@ def test_voc_evaluator_end_to_end():
     res = ev.evaluate()["bbox"]
     assert res["AP50"] == pytest.approx(1.0)
     assert res["CorLoc50"] == pytest.approx(1.0)
+
+
+def test_box_proposal_ar_hand_computed():
+    """Hand-derived AR fixture for the proposal-recall branch (reference
+    _evaluate_box_proposals, coco_evaluation.py:476-585)."""
+    from wsovod_tpu.evaluation.coco_evaluation import evaluate_box_proposals
+
+    gt_by_image = {
+        1: [
+            ((0, 0, 10, 10), 100.0, 0),        # small
+            ((0, 0, 100, 100), 10000.0, 0),    # large
+            ((5, 5, 9, 9), 16.0, 1),           # crowd: ignored
+        ]
+    }
+    proposals = [
+        {
+            "image_id": 1,
+            "boxes": np.array(
+                [[0, 0, 100, 82], [0, 0, 10, 10], [50, 50, 60, 60]], np.float32
+            ),
+            "objectness_logits": np.array([3.0, 2.0, 1.0], np.float32),
+        }
+    ]
+    # overlaps: gt1 matched exactly (IoU 1.0), gt2 covered at IoU 0.82
+    res = evaluate_box_proposals(proposals, gt_by_image, area="all")
+    assert res["num_pos"] == 2
+    # recalls: 1.0 for t in {.5..0.8} (7 thresholds), 0.5 for {.85,.9,.95}
+    assert abs(res["ar"] - (7 * 1.0 + 3 * 0.5) / 10) < 1e-6
+    res_s = evaluate_box_proposals(proposals, gt_by_image, area="small")
+    assert res_s["num_pos"] == 1 and abs(res_s["ar"] - 1.0) < 1e-6
+    res_l = evaluate_box_proposals(proposals, gt_by_image, area="large")
+    assert res_l["num_pos"] == 1 and abs(res_l["ar"] - 0.7) < 1e-6
+    # limit=1 keeps only the top-objectness proposal -> gt1 unmatched
+    res_1 = evaluate_box_proposals(proposals, gt_by_image, area="all", limit=1)
+    assert abs(res_1["ar"] - 0.35) < 1e-6  # only gt2 at 0.82 -> 7/10 * 0.5
+
+
+def test_coco_evaluator_proposal_branch(tmp_path):
+    """COCOEvaluator reports box_proposals AR + dumps box_proposals.pkl when
+    proposals are processed (reference coco_evaluation.py:203-204,284-305)."""
+    import pickle
+
+    from wsovod_tpu.data.catalog import MetadataCatalog
+    from wsovod_tpu.evaluation.coco_evaluation import COCOEvaluator
+
+    name = "synthetic_proposal_eval_ds"
+    if name not in MetadataCatalog.list():
+        MetadataCatalog.get(name).set(
+            thing_classes=["a", "b"], evaluator_type="coco"
+        )
+    ev = COCOEvaluator(name, output_dir=str(tmp_path))
+    ev.process_gt(7, np.array([[0, 0, 10, 10]]), np.array([0]))
+    ev.process(7, np.array([[0, 0, 10, 10]]), np.array([0.9]), np.array([0]))
+    ev.process_proposals(
+        7, np.array([[0, 0, 10, 10], [3, 3, 30, 30]], np.float32),
+        np.array([1.0, 0.5], np.float32),
+    )
+    out = ev.evaluate()
+    assert "box_proposals" in out
+    assert abs(out["box_proposals"]["AR@100"] - 100.0) < 1e-6
+    assert abs(out["box_proposals"]["ARs@1000"] - 100.0) < 1e-6
+    assert out["box_proposals"]["ARl@100"] == 0.0  # no large gt
+    pkl = tmp_path / "box_proposals.pkl"
+    assert pkl.exists()
+    data = pickle.loads(pkl.read_bytes())
+    assert data["ids"] == [7] and len(data["boxes"]) == 1

@@ -301,3 +301,75 @@ def test_model_level_fused_chunk_wiring(pooler_type, monkeypatch):
     finally:
         rpf._INTERPRET = False
         raf._INTERPRET = False
+
+
+def test_int8_vs_fp_inference_detections(monkeypatch):
+    """The int8-vs-fp metric guard at module level: WSOVODROIHeads.inference
+    with fused int8 emission vs the fp fused path — pre-NMS class probs must
+    agree tightly (p99 rel err < 3%) and the top post-NMS detections must
+    keep the same boxes. This is the CPU tier of the guard backing the int8
+    default; the TPU tier (full bench model) is recorded in STATUS.md."""
+    from wsovod_tpu.models.poolers import ROIPooler
+    from wsovod_tpu.models.roi_heads import WSOVODROIHeads
+    from wsovod_tpu.structures.instances import Instances
+    import wsovod_tpu.ops.pallas.roi_align_fused as raf
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    raf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(11)
+        b, n, c = 1, 16, 256
+        feats = {"res5": jnp.asarray(np.abs(rng.randn(b, 10, 14, c)).astype(np.float32))}
+        xy = rng.uniform(0, 60, (b, n, 2))
+        wh = rng.uniform(10, 40, (b, n, 2))
+        proposals = Instances(
+            jnp.ones((b, n), bool),
+            proposal_boxes=jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
+            objectness_logits=jnp.asarray(rng.rand(b, n).astype(np.float32)),
+        )
+        emb = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        image_sizes = jnp.asarray([[80, 112]], jnp.int32)
+
+        def build(quant):
+            pooler = ROIPooler(
+                7, scales=[1.0 / 8], pooler_type="ROIPool",
+                roi_align_kernel="fused", fc1_quant=quant,
+            )
+            return WSOVODROIHeads(
+                num_classes=4, pooler=pooler, dan_fc_dims=(32, 32),
+                refine_k=1, refine_reg=(False,), ov_weight_dim=8,
+                rpn_on=False, dan_fc1_quant=quant,
+            )
+
+        heads_fp = build("none")
+        heads_q = build("int8")
+        params = heads_fp.init(
+            {"params": jax.random.PRNGKey(0)},
+            feats, proposals, jnp.asarray([[0, 1]]), jnp.ones((1, 2), bool),
+            embeddings=emb, rng=jax.random.PRNGKey(1),
+        )
+        det_fp, probs_fp, boxes_fp = heads_fp.apply(
+            params, feats, proposals, image_sizes, embeddings=emb,
+            method=heads_fp.inference,
+        )
+        det_q, probs_q, boxes_q = heads_q.apply(
+            params, feats, proposals, image_sizes, embeddings=emb,
+            method=heads_q.inference,
+        )
+        pf, pq = np.asarray(probs_fp), np.asarray(probs_q)
+        denom = max(np.abs(pf).max(), 1e-8)
+        assert np.percentile(np.abs(pf - pq) / denom, 99) < 0.03
+        # decoded boxes identical (regression disabled -> proposals pass through)
+        np.testing.assert_allclose(
+            np.asarray(boxes_fp), np.asarray(boxes_q), rtol=1e-3, atol=0.5
+        )
+        # top surviving detection matches
+        vf, vq = np.asarray(det_fp.valid[0]), np.asarray(det_q.valid[0])
+        assert vf.sum() > 0 and vq.sum() > 0
+        bf = np.asarray(det_fp.boxes[0])[vf]
+        bq = np.asarray(det_q.boxes[0])[vq]
+        np.testing.assert_allclose(bf[0], bq[0], atol=1.0)
+    finally:
+        rpf._INTERPRET = False
+        raf._INTERPRET = False

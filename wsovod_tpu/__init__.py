@@ -10,3 +10,28 @@ classification.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compilation cache (kernel compiles through the
+    axon tunnel run minutes; the cache makes them one-time per shape).
+    Opt out with WSOVOD_NO_COMPILE_CACHE=1; relocate with JAX_CACHE_DIR."""
+    import os
+
+    if os.environ.get("WSOVOD_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()

@@ -263,6 +263,9 @@ def get_cfg() -> CN:
     _C.TEST.EXPECTED_RESULTS = []
     _C.TEST.EVAL_PERIOD = 0
     _C.TEST.EVAL_TRAIN = False
+    # route post-NMS proposals into eval outputs for the proposal-recall
+    # AR@{100,1000} diagnostic + box_proposals.pkl dump
+    _C.TEST.EVAL_PROPOSALS = False
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.AUG = CN()
     _C.TEST.AUG.ENABLED = False
@@ -299,10 +302,14 @@ def get_cfg() -> CN:
     # "gather" = exact XLA-gather ROIAlign; "pallas_approx" = single-window
     # Pallas kernel (fastest, approximate for ROIs larger than the window)
     _C.TPU.ROI_ALIGN_KERNEL = "fused"
-    # "int8": dynamically-quantized DAN fc1 at inference (per-ROI activation
-    # scales, per-column weight scales, int8 MXU matmul — 2x bf16 peak;
-    # p99 rel err ~0.6% on the fc1 output). Default off: parity first.
-    _C.TPU.DAN_FC1_QUANT = "none"
+    # "int8": quantized DAN fc1 at inference (per-ROI activation scales,
+    # per-column weight scales, int8 MXU matmul — 2x bf16 peak; with the
+    # fused poolers the quantization is emitted by the pooling kernel
+    # itself, no separate pass). Validated default: pre-NMS class probs
+    # within 3% of the fp path and identical top detections
+    # (tests/test_roi_pool_fused.py::test_int8_vs_fp_inference_detections);
+    # set "none" for bit-parity runs against the fp pipeline.
+    _C.TPU.DAN_FC1_QUANT = "int8"
 
     return _C
 

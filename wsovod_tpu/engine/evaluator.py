@@ -42,24 +42,34 @@ def inference_on_dataset(
     evaluator,
     embeddings=None,
     classifier=None,
+    eval_proposals: bool = False,
 ) -> Dict:
     """Feed every batch through the jitted forward; evaluator consumes
-    host-side rescaled results."""
+    host-side rescaled results. With ``eval_proposals`` the model's post-NMS
+    proposal set is also routed to the evaluator (proposal-recall AR branch,
+    reference ``coco_evaluation.py:172-173``)."""
 
     @jax.jit
     def forward(params, batch):
-        det, _, _ = model.apply(
+        out = model.apply(
             params,
             batch,
             train=False,
             embeddings=embeddings,
             classifier=classifier,
+            return_proposals=eval_proposals,
         )
-        return det
+        if eval_proposals:
+            det, _, _, props = out
+            return det, props
+        det, _, _ = out
+        return det, None
 
-    def consume(batch, det):
+    def consume(batch, det, props):
         nonlocal n_images
         det = jax.tree_util.tree_map(np.asarray, det)
+        if props is not None:
+            props = jax.tree_util.tree_map(np.asarray, props)
         image_sizes = np.asarray(batch["image_sizes"])
         orig_sizes = np.asarray(batch["orig_size"])
         batch_valid = np.asarray(
@@ -80,6 +90,12 @@ def inference_on_dataset(
             evaluator.process(
                 batch["image_id"][i], boxes, det.scores[i][v], det.classes[i][v]
             )
+            if props is not None and hasattr(evaluator, "process_proposals"):
+                pb, po, pv = props[0][i], props[1][i], props[2][i]
+                pb = pb[pv] * np.array([sx, sy, sx, sy])
+                pb[:, 0::2] = np.clip(pb[:, 0::2], 0, orig_sizes[i][1])
+                pb[:, 1::2] = np.clip(pb[:, 1::2], 0, orig_sizes[i][0])
+                evaluator.process_proposals(batch["image_id"][i], pb, po[pv])
 
     n_images = 0
     t0 = time.perf_counter()
@@ -94,10 +110,10 @@ def inference_on_dataset(
             if k
             in ("images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid")
         }
-        det = forward(params, device_batch)
+        det, props = forward(params, device_batch)
         if pending is not None:
             consume(*pending)
-        pending = (batch, det)
+        pending = (batch, det, props)
     if pending is not None:
         consume(*pending)
     dt = time.perf_counter() - t0
@@ -136,7 +152,9 @@ def test_WSL(cfg, model, params, embeddings=None, classifier=None) -> Dict[str, 
         register_gt_with_evaluator(dicts, evaluator)
         loader = build_detection_test_loader(cfg, name)
         results[name] = inference_on_dataset(
-            model, params, loader, evaluator, embeddings=embeddings, classifier=classifier
+            model, params, loader, evaluator, embeddings=embeddings,
+            classifier=classifier,
+            eval_proposals=cfg.TEST.EVAL_PROPOSALS,
         )
         logger.info("%s: %s", name, results[name])
     return results

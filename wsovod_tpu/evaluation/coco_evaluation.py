@@ -40,6 +40,92 @@ def instances_to_coco_json(
     return out
 
 
+_PROPOSAL_AREAS = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+
+
+def _pairwise_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU of XYXY boxes a [N, 4] vs b [M, 4] -> [N, M]."""
+    area_a = np.maximum(a[:, 2] - a[:, 0], 0) * np.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def evaluate_box_proposals(
+    proposals: List[dict],
+    gt_by_image: Dict,
+    area: str = "all",
+    limit: Optional[int] = None,
+    thresholds: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Proposal recall (reference ``coco_evaluation.py:476-585``): greedy
+    best-covered-GT-first bipartite matching of proposals (sorted by
+    objectness) to non-crowd GT within an area range; AR = mean recall over
+    IoU 0.5:0.05:0.95.
+
+    ``gt_by_image``: image_id -> list of (xyxy box, area, iscrowd)."""
+    lo, hi = _PROPOSAL_AREAS[area]
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05, dtype=np.float32)
+    gt_overlaps = []
+    num_pos = 0
+    for pred in proposals:
+        boxes = pred["boxes"]
+        order = np.argsort(-pred["objectness_logits"], kind="stable")
+        boxes = boxes[order]
+        anno = gt_by_image.get(pred["image_id"], [])
+        non_crowd = [(b, a) for b, a, crowd in anno if not crowd]
+        # reference order: skip empty images BEFORE the area filter, count
+        # positives AFTER it (coco_evaluation.py:528-537)
+        if len(non_crowd) == 0 or len(boxes) == 0:
+            continue
+        gt = np.array(
+            [b for b, a in non_crowd if lo <= a <= hi], np.float32
+        ).reshape(-1, 4)
+        num_pos += len(gt)
+        if len(gt) == 0:
+            continue
+        if limit is not None and len(boxes) > limit:
+            boxes = boxes[:limit]
+        overlaps = _pairwise_iou_np(boxes, gt)
+        _gt_ov = np.zeros(len(gt), np.float32)
+        for j in range(min(len(boxes), len(gt))):
+            max_overlaps = overlaps.max(axis=0)  # best proposal per gt
+            argmax_overlaps = overlaps.argmax(axis=0)
+            gt_ind = int(max_overlaps.argmax())  # best-covered gt first
+            gt_ovr = max_overlaps[gt_ind]
+            if gt_ovr < 0:
+                break
+            box_ind = int(argmax_overlaps[gt_ind])
+            _gt_ov[j] = overlaps[box_ind, gt_ind]
+            overlaps[box_ind, :] = -1
+            overlaps[:, gt_ind] = -1
+        gt_overlaps.append(_gt_ov)
+    ov = np.sort(np.concatenate(gt_overlaps)) if gt_overlaps else np.zeros(0)
+    recalls = np.array(
+        [
+            (ov >= t).sum() / float(num_pos) if num_pos else 0.0
+            for t in thresholds
+        ],
+        np.float32,
+    )
+    return {
+        "ar": float(recalls.mean()),
+        "recalls": recalls,
+        "thresholds": thresholds,
+        "num_pos": num_pos,
+    }
+
+
 class COCOEvaluator:
     def __init__(self, dataset_name: str, output_dir: Optional[str] = None):
         self._meta = MetadataCatalog.get(dataset_name)
@@ -54,9 +140,11 @@ class COCOEvaluator:
 
     def reset(self):
         self._predictions: List[dict] = []
+        self._proposals: List[dict] = []
         self._gt: List[dict] = []
         self._img_ids: List = []
         self._ann_id = 1
+        self._gathered = False
 
     def process_gt(self, image_id, gt_boxes_xyxy, gt_classes, iscrowd=None):
         self._img_ids.append(image_id)
@@ -81,6 +169,18 @@ class COCOEvaluator:
             )
         )
 
+    def process_proposals(self, image_id, boxes_xyxy, objectness_logits):
+        """Collect box proposals for the recall diagnostic (reference
+        ``coco_evaluation.py:172-173``; enabled by routing proposals into the
+        eval outputs, cfg ``TEST.EVAL_PROPOSALS``)."""
+        self._proposals.append(
+            {
+                "image_id": image_id,
+                "boxes": np.asarray(boxes_xyxy, np.float32),
+                "objectness_logits": np.asarray(objectness_logits, np.float32),
+            }
+        )
+
     def _gather_predictions(self) -> bool:
         """Multi-host: merge per-host predictions onto the main process
         (reference ``coco_evaluation.py:182-188`` comm.gather). Returns False
@@ -93,10 +193,11 @@ class COCOEvaluator:
         import jax
 
         if jax.process_count() > 1:
-            parts = all_gather_objects(self._predictions)
+            parts = all_gather_objects((self._predictions, self._proposals))
             if not is_main_process():
                 return False
-            self._predictions = [p for part in parts for p in part]
+            self._predictions = [p for part in parts for p in part[0]]
+            self._proposals = [p for part in parts for p in part[1]]
         self._gathered = True
         return True
 
@@ -104,6 +205,48 @@ class COCOEvaluator:
         ev = COCOEval(self._gt, self._predictions, self._img_ids, self._cat_ids)
         ev.evaluate()
         return ev
+
+    def _gt_by_image(self) -> Dict:
+        by_img: Dict = {}
+        for g in self._gt:
+            x, y, w, h = g["bbox"]
+            by_img.setdefault(g["image_id"], []).append(
+                ((x, y, x + w, y + h), g["area"], g["iscrowd"])
+            )
+        return by_img
+
+    def _eval_box_proposals(self) -> Dict[str, float]:
+        """Proposal AR@{100,1000} by area + ``box_proposals.pkl`` dump
+        (reference ``coco_evaluation.py:284-321``) whenever predictions carry
+        proposals — the diagnostic for RPN/SAM proposal quality independent
+        of the MIL heads."""
+        if self._output_dir:
+            os.makedirs(self._output_dir, exist_ok=True)
+            import pickle
+
+            proposal_data = {
+                "boxes": [p["boxes"] for p in self._proposals],
+                "objectness_logits": [
+                    p["objectness_logits"] for p in self._proposals
+                ],
+                "ids": [p["image_id"] for p in self._proposals],
+                "bbox_mode": 0,  # XYXY_ABS
+            }
+            with open(
+                os.path.join(self._output_dir, "box_proposals.pkl"), "wb"
+            ) as f:
+                pickle.dump(proposal_data, f)
+        gt_by_image = self._gt_by_image()
+        res = {}
+        for limit in (100, 1000):
+            for area, suffix in (
+                ("all", ""), ("small", "s"), ("medium", "m"), ("large", "l")
+            ):
+                stats = evaluate_box_proposals(
+                    self._proposals, gt_by_image, area=area, limit=limit
+                )
+                res[f"AR{suffix}@{limit}"] = stats["ar"] * 100.0
+        return res
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         if not self._gather_predictions():
@@ -114,6 +257,7 @@ class COCOEvaluator:
                 os.path.join(self._output_dir, "coco_instances_results.json"), "w"
             ) as f:
                 json.dump(self._predictions, f)
+        proposal_res = self._eval_box_proposals() if self._proposals else None
         ev = self._run_eval()
         results = ev.summarize()
         per_cat = ev.per_category_ap()
@@ -122,7 +266,10 @@ class COCOEvaluator:
                 {v: k for k, v in self._reverse_id_map.items()}[cat_id]
             ]
             results[f"AP-{name}"] = ap
-        return {"bbox": results}
+        out = {"bbox": results}
+        if proposal_res is not None:
+            out["box_proposals"] = proposal_res
+        return out
 
 
 class OVCOCOEvaluator(COCOEvaluator):
@@ -132,6 +279,7 @@ class OVCOCOEvaluator(COCOEvaluator):
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         if not self._gather_predictions():
             return {}
+        proposal_res = self._eval_box_proposals() if self._proposals else None
         ev = self._run_eval()
         results = ev.summarize()
         per_cat = ev.per_category_ap()
@@ -156,4 +304,7 @@ class OVCOCOEvaluator(COCOEvaluator):
             if groups[g]:
                 results[f"AP-{g}"] = float(np.nanmean(groups[g]))
                 results[f"AP50-{g}"] = float(np.nanmean(groups50[g]))
-        return {"bbox": results}
+        out = {"bbox": results}
+        if proposal_res is not None:
+            out["box_proposals"] = proposal_res
+        return out

@@ -116,6 +116,7 @@ class GeneralizedRCNN_WSOVOD(nn.Module):
         embeddings: Optional[jnp.ndarray] = None,  # [C, D] train classifier
         classifier: Optional[jnp.ndarray] = None,  # [C', D] runtime override
         append_background: bool = True,
+        return_proposals: bool = False,  # inference: also return proposal set
     ):
         images = self._normalize(batch["images"])
         features = self.backbone(images, train=train)
@@ -177,6 +178,15 @@ class GeneralizedRCNN_WSOVOD(nn.Module):
             embeddings=embeddings,
             append_background=append_background,
         )
+        if return_proposals:
+            # the post-NMS proposal set the ROI heads consumed, for the
+            # evaluator's proposal-recall branch (reference
+            # coco_evaluation.py:172-173 collects output["proposals"])
+            return detections, all_scores, all_boxes, (
+                proposals.proposal_boxes,
+                proposals.objectness_logits,
+                proposals.valid,
+            )
         return detections, all_scores, all_boxes
 
 
@@ -197,6 +207,7 @@ class GeneralizedRCNN_WSOVOD_MixedDatasets(GeneralizedRCNN_WSOVOD):
         classifier: Optional[jnp.ndarray] = None,
         append_background: bool = True,
         source_id: int = 0,
+        return_proposals: bool = False,
     ):
         images = self._normalize(batch["images"])
         features = self.backbone(images, train=train)
@@ -245,6 +256,12 @@ class GeneralizedRCNN_WSOVOD_MixedDatasets(GeneralizedRCNN_WSOVOD):
             embeddings=embeddings,
             append_background=append_background,
         )
+        if return_proposals:
+            return detections, all_scores, all_boxes, (
+                proposals.proposal_boxes,
+                proposals.objectness_logits,
+                proposals.valid,
+            )
         return detections, all_scores, all_boxes
 
 

@@ -198,7 +198,11 @@ def _fused_kernel(
                 inv = jnp.where(maxabs > 1e-20, 127.0 / maxabs, 0.0)
                 q = jnp.round(acc * inv).astype(jnp.int8)
                 out_ref[0, :, :, i] = q
-                scale_ref[0, 0, i] = scale_out * maxabs * (1.0 / 127.0)
+                # scales block spans all of N_pad in SMEM (scalar stores;
+                # small trailing blocks are not tileable)
+                scale_ref[0, 0, rbi * roi_block + i] = (
+                    scale_out * maxabs * (1.0 / 127.0)
+                )
             elif hwnc_out:
                 # [B, P, P, RB, CT] output: the default layout of this shape
                 # IS the fc1 einsum's preferred operand layout (c minor, then
@@ -277,7 +281,7 @@ def roi_align_fused_batched(
     s = max(sampling_ratio, 1)
     c_take = c if c_take is None else c_take
     if roi_block is None:
-        roi_block = 32 if quant == "int8" else 16  # int8 min tile: 32 sublanes
+        roi_block = 16  # int8 sub-tile (32-sublane) stores are masked, fine
     if quant == "int8":
         assert hwnc_out, "int8 emission implemented for the hwnc layout only"
 
@@ -355,7 +359,9 @@ def roi_align_fused_batched(
     if quant == "int8":
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, roi_block), lambda bi, ci, rbi, *_: (bi, ci, rbi)
+                (1, 1, n_pad),
+                lambda bi, ci, rbi, *_: (bi, ci, 0),
+                memory_space=pltpu.SMEM,
             )
         )
         out_shapes.append(jax.ShapeDtypeStruct((b, n_ct, n_pad), jnp.float32))

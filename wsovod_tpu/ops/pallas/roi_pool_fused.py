@@ -53,7 +53,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.0e38  # representable in bf16 and f32
-POOL_WIN = 64  # narrow x-window (feature px) for plain ROIPool
+# narrow x-window (feature px) for plain ROIPool (covers rw <= 57; per-ROI
+# smaller window classes measured SLOWER: the pl.when branch per ROI defeats
+# Mosaic's cross-ROI pipelining)
+POOL_WIN = 64
 LOOP_WIN = 96  # narrow x-window for ROILoopPool (covers the 1.8x outer box)
 
 # Flipped by CPU tests to run the kernels (incl. the AD wrappers, whose
@@ -86,7 +89,11 @@ def _fold_rows(full_buf, band, band2, hlo, hhi, x0, wd, win, p, row_cond=None):
     maxes into ``band[ph, :wd]``; if ``band2``/``row_cond`` are given, also
     fold rows satisfying ``row_cond(h)`` into ``band2[ph, :wd]`` (shared
     loads). ``win`` selects the windowed (dynamic 8-aligned ``x0``) or
-    full-row load path; ``wd`` is the static band width."""
+    full-row load path; ``wd`` is the static band width.
+
+    (4-row slab folds and per-ROI window-class branches were both measured
+    SLOWER on v5e — Mosaic pipelines the simple row walk better than either;
+    see scripts/bench_maxpool_kernel.py history.)"""
     for ph in range(p):
         def body(h, _, ph=ph):
             if win is None:
@@ -126,11 +133,13 @@ def _clipf(v, lim):
     return jnp.clip(v, 0.0, lim)
 
 
-def _write_out(out_ref, scale_ref, regions, gate, i, ct_i, quant):
+def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
     """Epilogue: gate-and-write (bf16) or quantize-and-write (int8).
 
     ``regions``: list of [P, P, CT] pooled values (pre-gate). For int8 the
-    gate folds into the emitted scale, keeping the payload gate-free."""
+    gate folds into the emitted scale, keeping the payload gate-free.
+    ``ri`` is this ROI's index within the full padded N axis (the scales
+    block spans all of N_pad — small last dims can't be tiled)."""
     triple = len(regions) > 1
     if quant == "int8":
         for r, vals in enumerate(regions):
@@ -140,10 +149,10 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ct_i, quant):
             q = jnp.round(v32 * inv).astype(jnp.int8)
             if triple:
                 out_ref[r, 0, :, :, i] = q
-                scale_ref[r, 0, 0, i] = gate * maxabs * (1.0 / 127.0)
+                scale_ref[r, 0, 0, ri] = gate * maxabs * (1.0 / 127.0)
             else:
                 out_ref[0, :, :, i] = q
-                scale_ref[0, 0, i] = gate * maxabs * (1.0 / 127.0)
+                scale_ref[0, 0, ri] = gate * maxabs * (1.0 / 127.0)
     else:
         for r, vals in enumerate(regions):
             gated = (vals.astype(jnp.float32) * gate).astype(out_ref.dtype)
@@ -216,7 +225,10 @@ def _fused_pool_kernel(
                 pooled = jnp.where(
                     pooled <= neg / 2, 0.0, pooled.astype(jnp.float32)
                 )
-                _write_out(out_ref, scale_ref, [pooled], gate, i, ct_i, quant)
+                _write_out(
+                    out_ref, scale_ref, [pooled], gate, i,
+                    rbi * roi_block + i, quant,
+                )
 
             if narrow_enabled:
                 narrow = rw <= win - 7
@@ -303,7 +315,7 @@ def _fused_pool_kernel(
 
                 _write_out(
                     out_ref, scale_ref, [roi_v, frame_v, ctx_v], gate, i,
-                    ct_i, quant,
+                    rbi * roi_block + i, quant,
                 )
 
             if narrow_enabled:
@@ -357,7 +369,9 @@ def roi_pool_fused_batched(
     p = output_size
     c_take = c if c_take is None else c_take
     if roi_block is None:
-        roi_block = 32 if quant == "int8" else 16  # int8 min tile: 32 sublanes
+        # 8 keeps the unrolled Mosaic program (and its compile time) small;
+        # larger blocks measured no faster (cost is per-ROI, not per-block)
+        roi_block = 8
 
     smem_budget = 960 * 1024
     n_pad_est = n + (-n) % roi_block
@@ -399,7 +413,7 @@ def roi_pool_fused_batched(
     if w_dma != w:
         feat = jnp.pad(feat, ((0, 0), (0, 0), (0, w_dma - w), (0, 0)))
     win = LOOP_WIN if loop_pool else POOL_WIN
-    narrow_enabled = w_dma > win
+    narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
 
     pad = (-n) % roi_block
     n_pad = n + pad
@@ -420,10 +434,14 @@ def roi_pool_fused_batched(
     ]
     out_specs = [out_spec]
     if quant == "int8":
+        # scales are written as scalars -> SMEM block (VMEM refs reject
+        # scalar stores); the row spans all of N_pad with an rbi-independent
+        # index so it stays resident across the inner ROI sweep
         out_specs.append(
             pl.BlockSpec(
-                tri + (1, 1, roi_block),
-                lambda bi, ci, rbi, *_: (0,) * nd + (bi, ci, rbi),
+                tri + (1, 1, n_pad),
+                lambda bi, ci, rbi, *_: (0,) * nd + (bi, ci, 0),
+                memory_space=pltpu.SMEM,
             )
         )
         out_shapes.append(
