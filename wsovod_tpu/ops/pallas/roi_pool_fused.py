@@ -53,10 +53,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.0e38  # representable in bf16 and f32
-# narrow x-window (feature px) for plain ROIPool (covers rw <= 57; per-ROI
-# smaller window classes measured SLOWER: the pl.when branch per ROI defeats
-# Mosaic's cross-ROI pipelining)
-POOL_WIN = 64
+# narrow x-window (feature px) for plain ROIPool (covers rw <= 41 — every
+# ROI of the COCO bench distribution, keeping the narrow/wide branch
+# coherent). Measured at the bench shape (B8 x 5024 x 2048ch): win48 350 ms
+# vs win64 405 vs win32 438 (win32 pushes ~35% of ROIs to the incoherent
+# full-width branch). Multiple per-ROI window classes and roi_block != 8
+# were all slower; see git history.
+POOL_WIN = 48
 LOOP_WIN = 96  # narrow x-window for ROILoopPool (covers the 1.8x outer box)
 
 # Flipped by CPU tests to run the kernels (incl. the AD wrappers, whose
