@@ -18,16 +18,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_cfg(refine_k=1, bbox_refine=False):
+def build_cfg(refine_k=1, bbox_refine=False, depth=18, mrrp=False, pooler="ROIPool"):
     from wsovod_tpu.config import get_cfg
 
     cfg = get_cfg()
-    cfg.MODEL.RESNETS.DEPTH = 18
-    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.DEPTH = depth
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64 if depth == 18 else 256
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2048
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1024
-    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    if mrrp:
+        # MRRP flagship (WSOVOD_MRRP_WSR_50_DC5_1x): 3 shared-weight branches
+        # with ROILoopPool
+        cfg.MODEL.MRRP.MRRP_ON = True
+        cfg.MODEL.MRRP.NUM_BRANCH = 3
+        cfg.MODEL.MRRP.BRANCH_DILATIONS = [1, 2, 3]
+        pooler = "ROILoopPool"
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = pooler
     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
     cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE = True
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = refine_k
@@ -66,8 +73,8 @@ def main():
     B, H, W, S = 4, 800, 1216, 4000
     emb = jnp.asarray(np.random.RandomState(1).randn(80, 512).astype(np.float32))
 
-    def bench(name, refine_k, bbox_refine):
-        cfg = build_cfg(refine_k, bbox_refine)
+    def bench(name, refine_k, bbox_refine, **kw):
+        cfg = build_cfg(refine_k, bbox_refine, **kw)
         model = build_model(cfg)
         batch = make_batch(B, H, W, S)
 
@@ -144,6 +151,17 @@ def main():
     only = os.environ.get("BENCH_ONLY", "")
     if only == "refine":
         bench("R18-DC5 K=1 + BBOX_REFINE vit_b      ", 1, True)
+        return
+    if only == "r50":
+        # flagship WSR-50-DC5 (ROIPool, the shipped pooler)
+        bench("R50-DC5 K=1 (flagship)               ", 1, False, depth=50)
+        return
+    if only == "r50_refine":
+        bench("R50-DC5 K=1 + BBOX_REFINE vit_b      ", 1, True, depth=50)
+        return
+    if only == "mrrp50":
+        # strongest paper variant: MRRP-WSR-50 + ROILoopPool
+        bench("MRRP-R50-DC5 K=1 (ROILoopPool)       ", 1, False, depth=50, mrrp=True)
         return
     bench("R18-DC5 K=1 (shipped, no BBOX_REFINE)", 1, False)
     bench("R18-DC5 K=1 + BBOX_REFINE vit_b      ", 1, True)

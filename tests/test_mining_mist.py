@@ -106,3 +106,36 @@ def test_pgt_mist_matches_dynamic_oracle(p, c, seed):
     w = np.asarray(got.weights)[valid]
     s = np.asarray(got.scores)[valid]
     np.testing.assert_allclose(w, s)
+
+
+def test_pgt_mist_many_classes_exact_past_cap():
+    """Many-class oracle for the global-NMS window (round-2 verdict weak #5):
+    with 12 present classes the candidate set exceeds a small nms_cap; the
+    tiled NMS must reproduce the uncapped result exactly (no silent
+    truncation of candidates past the window)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from wsovod_tpu.models.mining import pgt_mist
+
+    rng = np.random.RandomState(7)
+    p, c = 256, 16
+    xy = rng.uniform(0, 300, (p, 2))
+    wh = rng.uniform(30, 120, (p, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    scores = jnp.asarray(rng.rand(p, c).astype(np.float32) * 0.5 + 0.1)
+    valid = jnp.ones((p,), bool)
+    present = jnp.asarray([True] * 12 + [False] * 4)
+    logits = jnp.asarray(rng.rand(c).astype(np.float32))
+
+    # candidate set: 12 classes x k; force it past a small cap
+    uncapped = pgt_mist(boxes, scores, valid, present, logits, nms_cap=10**9)
+    capped = pgt_mist(boxes, scores, valid, present, logits, nms_cap=128)
+    np.testing.assert_array_equal(
+        np.asarray(uncapped.valid), np.asarray(capped.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(uncapped.boxes), np.asarray(capped.boxes)
+    )
+    assert int(np.asarray(capped.valid).sum()) > 0

@@ -172,3 +172,28 @@ def test_nms_early_stop_matches_full_topk():
     idx, ok = nms_topk(boxes, scores, 0.5, k, valid=valid)
     got = set(np.asarray(idx)[np.asarray(ok)])
     assert got == want
+
+
+def test_nms_mask_tiled_matches_dense():
+    """Tiled carry-forward NMS == single-window greedy NMS exactly (several
+    densities, validity patterns, and tile sizes that force multiple
+    windows)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from wsovod_tpu.ops.nms import nms_mask, nms_mask_tiled
+
+    rng = np.random.RandomState(0)
+    for seed, n, tile in [(1, 300, 64), (2, 513, 128), (3, 100, 32)]:
+        rng = np.random.RandomState(seed)
+        xy = rng.uniform(0, 200, (n, 2))
+        wh = rng.uniform(5, 60, (n, 2))
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        scores = jnp.asarray(rng.rand(n).astype(np.float32))
+        valid = jnp.asarray(rng.rand(n) > 0.2)
+        want = np.asarray(nms_mask(boxes, scores, 0.3, valid=valid))
+        got = np.asarray(
+            nms_mask_tiled(boxes, scores, 0.3, valid=valid, tile=tile, carry_cap=4 * tile)
+        )
+        np.testing.assert_array_equal(got, want)

@@ -137,9 +137,11 @@ def pgt_mist(
       twice); with SAM it keeps the image-level logits (:1297). ``sam=True``
       selects the latter.
 
-    ``nms_cap`` bounds the global-NMS candidate set (top-scored first) so the
-    IoU matrix stays O(cap^2) instead of O((C*k)^2); the reference's dynamic
-    set is ~``#present_classes * p*0.15``, well under the default cap.
+    ``nms_cap`` bounds the per-window IoU matrix at O(cap^2): candidate sets
+    larger than the cap (many-class images: ~``#present_classes * p*0.15``
+    candidates) run through the exact tiled greedy NMS
+    (``nms_mask_tiled``), which processes score-sorted cap-size windows with
+    carry-forward suppression — no candidates are dropped.
     """
     p, c = pred_scores.shape
     k_frac = max(int(p * top_percent), 1)
@@ -162,17 +164,12 @@ def pgt_mist(
     valid = mined.valid & (jnp.tile(jnp.arange(k), c) < k_frac)
 
     if g > nms_cap:
-        # compact the top-scored valid candidates into the NMS window; the
-        # greedy scan runs in score order so a large-enough cap is exact
-        s_masked = jnp.where(valid, mined.scores, -jnp.inf)
-        top_i = jax.lax.top_k(s_masked, nms_cap)[1]
-        keep_w = nms_mask(
-            mined.boxes[top_i],
-            mined.scores[top_i],
-            nms_thresh,
-            valid=valid[top_i],
+        from ..ops.nms import nms_mask_tiled
+
+        keep = nms_mask_tiled(
+            mined.boxes, mined.scores, nms_thresh, valid=valid,
+            tile=nms_cap, carry_cap=nms_cap,
         )
-        keep = jnp.zeros((g,), bool).at[top_i].set(keep_w)
     else:
         keep = nms_mask(mined.boxes, mined.scores, nms_thresh, valid=valid)
 

@@ -133,3 +133,80 @@ def nms_topk(
     s = jnp.where(keep, scores, neg_inf)
     topv, topi = jax.lax.top_k(s, k)
     return topi, topv > neg_inf
+
+
+def nms_mask_tiled(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    valid: jnp.ndarray | None = None,
+    tile: int = 2048,
+    carry_cap: int = 2048,
+) -> jnp.ndarray:
+    """Exact greedy NMS over candidate sets too large for one [N, N] IoU
+    matrix (pgt_mist on many-class images: ~#present_classes x 15% x P
+    candidates, round-2 verdict weak #5).
+
+    Score-sorted candidates are processed in ``tile``-size windows; each
+    window is first suppressed against the boxes *kept by earlier windows*
+    (a bounded ``carry`` buffer), then greedy-NMS'd internally — the
+    composition is exactly the single-pass greedy scan as long as the carry
+    never overflows. Survivors past ``carry_cap`` stop suppressing later
+    windows (strictly more boxes kept than exact — the benign direction for
+    pseudo-GT mining; with 0.2-IoU suppression real survivor counts are far
+    below the cap). All-invalid windows are skipped via ``lax.cond``.
+
+    Memory: O(tile * (tile + carry_cap)) instead of O(N^2).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    if n <= tile:
+        return nms_mask(boxes, scores, iou_threshold, valid=valid)
+
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-masked_scores)
+    pad = (-n) % tile
+    sboxes = jnp.pad(boxes[order], ((0, pad), (0, 0)))
+    sscores = jnp.pad(masked_scores[order], (0, pad), constant_values=-jnp.inf)
+    svalid = jnp.pad(valid[order], (0, pad))
+    n_tiles = sboxes.shape[0] // tile
+
+    def step(state, t):
+        carry_boxes, carry_n = state
+        tb = jax.lax.dynamic_slice_in_dim(sboxes, t * tile, tile)
+        ts = jax.lax.dynamic_slice_in_dim(sscores, t * tile, tile)
+        tv = jax.lax.dynamic_slice_in_dim(svalid, t * tile, tile)
+
+        def run(_):
+            slot = jnp.arange(carry_cap)
+            iou_c = pairwise_iou(tb, carry_boxes)  # [tile, carry]
+            suppressed = jnp.any(
+                (iou_c > iou_threshold) & (slot[None, :] < carry_n), axis=1
+            )
+            keep_t = nms_mask(tb, ts, iou_threshold, valid=tv & ~suppressed)
+            # append kept boxes to the carry buffer (compacted; overflow
+            # silently dropped from the carry, never from the keep mask)
+            pos = carry_n + jnp.cumsum(keep_t.astype(jnp.int32)) - 1
+            ok = keep_t & (pos < carry_cap)
+            new_carry = carry_boxes.at[jnp.where(ok, pos, carry_cap)].set(
+                tb, mode="drop"
+            )
+            new_n = jnp.minimum(
+                carry_n + jnp.sum(keep_t.astype(jnp.int32)), carry_cap
+            )
+            return (new_carry, new_n), keep_t
+
+        def skip(_):
+            return (carry_boxes, carry_n), jnp.zeros((tile,), bool)
+
+        return jax.lax.cond(jnp.any(tv), run, skip, None)
+
+    (_, _), keeps = jax.lax.scan(
+        step,
+        (jnp.zeros((carry_cap, 4), boxes.dtype), jnp.int32(0)),
+        jnp.arange(n_tiles),
+    )
+    keep_sorted = keeps.reshape(-1)[: n + pad][:n]
+    return jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
