@@ -35,6 +35,7 @@ _INTEGRATION_MODULES = {
     "test_clip_text",
     "test_roi_pool_fused",  # interpret-mode Pallas: minutes per case
     "test_multiprocess",  # spawns 2 jax.distributed CPU processes
+    "test_golden_forward",  # full-model compile
 }
 
 

@@ -1,0 +1,116 @@
+"""Golden end-to-end forward fixture (round-2 verdict next #7).
+
+Real weights cannot enter this container, so the next-best invariant is
+pinned: a fixed-seed full-model train forward (losses) and inference
+(detections) on synthetic data, with values checked into
+``tests/fixtures/golden_forward.json``. Future kernel/numerics work must
+reproduce these to tolerance (CPU f32; regenerate deliberately with
+``WSOVOD_REGEN_GOLDEN=1 pytest tests/test_golden_forward.py``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wsovod_tpu.config import get_cfg
+from wsovod_tpu.models import build_model
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "golden_forward.json"
+)
+
+
+def _cfg():
+    cfg = get_cfg()
+    cfg.merge_from_file(
+        "/root/reference/configs/COCO-Detection/WSOVOD_WSR_18_DC5_1x.yaml"
+    )
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 16
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 16
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_BOX_HEAD.DAN_DIM = [64, 64]
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 16
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DAN_FC1_QUANT = "none"  # golden pins the full-precision path
+    return cfg
+
+
+def _batch():
+    rng = np.random.RandomState(0)
+    b, s, g, size = 2, 12, 4, 64
+    boxes = rng.uniform(0, size * 0.6, (b, s, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(8, 20, (b, s, 2))], -1)
+    return {
+        "images": jnp.asarray(
+            rng.uniform(0, 255, (b, size, size, 3)).astype(np.float32)
+        ),
+        "image_sizes": jnp.asarray(np.array([[size, size]] * b, np.int32)),
+        "sam_boxes": jnp.asarray(boxes.astype(np.float32)),
+        "sam_scores": jnp.asarray(rng.uniform(0.5, 1, (b, s)).astype(np.float32)),
+        "sam_valid": jnp.ones((b, s), bool),
+        "gt_classes": jnp.asarray(rng.randint(0, 5, (b, g))),
+        "gt_valid": jnp.asarray(np.array([[True, True, False, False]] * b)),
+    }
+
+
+def _compute():
+    cfg = _cfg()
+    model = build_model(cfg)
+    batch = _batch()
+    emb = jnp.asarray(np.random.RandomState(1).randn(5, 16).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True, iteration=jnp.asarray(100, jnp.int32),
+        rng=jax.random.PRNGKey(2), embeddings=emb,
+    )
+    losses = model.apply(
+        params, batch, train=True, iteration=jnp.asarray(100, jnp.int32),
+        rng=jax.random.PRNGKey(3), embeddings=emb,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    det, probs, boxes = model.apply(
+        params, batch, train=False, embeddings=emb
+    )
+    v0 = np.asarray(det.valid[0])
+    top = np.argsort(-np.asarray(det.scores[0]) * v0)[:5]
+    return {
+        "losses": {k: float(v) for k, v in losses.items()},
+        "det_boxes_img0_top5": np.asarray(det.boxes[0])[top].round(4).tolist(),
+        "det_scores_img0_top5": np.asarray(det.scores[0])[top].round(6).tolist(),
+        "probs_mean": float(np.asarray(probs, np.float64).mean()),
+        "probs_std": float(np.asarray(probs, np.float64).std()),
+    }
+
+
+def test_golden_forward():
+    got = _compute()
+    if os.environ.get("WSOVOD_REGEN_GOLDEN") or not os.path.exists(FIXTURE):
+        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+        with open(FIXTURE, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        if not os.environ.get("WSOVOD_REGEN_GOLDEN"):
+            pytest.skip("golden fixture generated; re-run to compare")
+        return
+    want = json.load(open(FIXTURE))
+    for k, v in want["losses"].items():
+        assert abs(got["losses"][k] - v) < 1e-4 + 1e-3 * abs(v), (
+            k, got["losses"][k], v,
+        )
+    np.testing.assert_allclose(
+        got["det_boxes_img0_top5"], want["det_boxes_img0_top5"],
+        rtol=1e-3, atol=0.05,
+    )
+    np.testing.assert_allclose(
+        got["det_scores_img0_top5"], want["det_scores_img0_top5"],
+        rtol=2e-3, atol=1e-5,
+    )
+    assert abs(got["probs_mean"] - want["probs_mean"]) < 1e-5
+    assert abs(got["probs_std"] - want["probs_std"]) < 1e-5

@@ -98,6 +98,9 @@ class WSOVODROIHeads(nn.Module):
     cls_agnostic_bbox_known: bool = False
     dtype: str | None = None
     dan_fc1_quant: str = "none"
+    # unfused pool->DAN paths process ROIs in chunks of this size so the
+    # pooled tensor never fully materializes (0 = no chunking)
+    unfused_roi_chunk: int = 1024
     # WSOVOD.BBOX_REFINE: SAM box-prompted refinement of mined pseudo GT
     bbox_refine: bool = False
     sam_img_size: int = 1024
@@ -206,23 +209,40 @@ class WSOVODROIHeads(nn.Module):
         if chunks is not None:
             box_features = self.box_head(chunks, train=train)  # [B, P, F]
         else:
-            pooled = self.pooler(
-                feats, proposals.proposal_boxes, proposals.valid,
-                level_ids=level_ids, mask_invalid=False,
-            )
-            # objectness gating (reference :727-744): scale by (objectness+1).
-            # Invalid-proposal zeroing is folded into the gate (one
-            # full-tensor multiply instead of two).
-            gate = (
-                (proposals.objectness_logits + 1.0)
-                * proposals.valid.astype(proposals.objectness_logits.dtype)
-            ).astype(pooled.dtype)
-            if self.pooler.triple:
-                pooled = pooled * gate[None, :, :, None, None, None]
-            else:
-                pooled = pooled * gate[:, :, None, None, None]
-
-            box_features = self.box_head(pooled, train=train)  # [(3,) B, P, F]
+            # ROI-chunked pool -> gate -> DAN: the full pooled tensor
+            # ([(3,) B, P, 7, 7, C] — ~12 GB at the MRRP/ROILoopPool COCO
+            # budget) never materializes; only a chunk of ROIs is live at a
+            # time. Per-chunk dropout draws fresh masks, which is fine.
+            n = proposals.proposal_boxes.shape[1]
+            step = self.unfused_roi_chunk if self.unfused_roi_chunk > 0 else n
+            parts = []
+            for i in range(0, n, step):
+                sl = slice(i, min(i + step, n))
+                pooled = self.pooler(
+                    feats,
+                    proposals.proposal_boxes[:, sl],
+                    proposals.valid[:, sl],
+                    level_ids=None if level_ids is None else level_ids[:, sl],
+                    mask_invalid=False,
+                )
+                # objectness gating (reference :727-744): scale by
+                # (objectness+1); invalid-proposal zeroing folds into the gate
+                gate = (
+                    (proposals.objectness_logits[:, sl] + 1.0)
+                    * proposals.valid[:, sl].astype(
+                        proposals.objectness_logits.dtype
+                    )
+                ).astype(pooled.dtype)
+                if self.pooler.triple:
+                    pooled = pooled * gate[None, :, :, None, None, None]
+                else:
+                    pooled = pooled * gate[:, :, None, None, None]
+                parts.append(self.box_head(pooled, train=train))
+            box_features = (
+                parts[0]
+                if len(parts) == 1
+                else jnp.concatenate(parts, axis=2 if self.pooler.triple else 1)
+            )  # [(3,) B, P, F]
 
         if self.pooler.triple:
             roi, frame, ctx = box_features[0], box_features[1], box_features[2]

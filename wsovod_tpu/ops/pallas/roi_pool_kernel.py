@@ -156,11 +156,13 @@ def _pool_one_region_rows_outside(
 
 
 def _roi_pool_kernel(rois_ref, feat_ref, out_ref, band, *, p, spatial_scale, roi_block):
+    # rois_ref is the FLAT [N*4] SMEM table (2-D scalar-prefetch operands are
+    # lane-padded 4 -> 128 in SMEM and overflow it at large N)
     h_lim, w_lim = feat_ref.shape[0], feat_ref.shape[1]
     rb = pl.program_id(1)
     for i in range(roi_block):
         r = rb * roi_block + i
-        box = (rois_ref[r, 0], rois_ref[r, 1], rois_ref[r, 2], rois_ref[r, 3])
+        box = (rois_ref[r * 4], rois_ref[r * 4 + 1], rois_ref[r * 4 + 2], rois_ref[r * 4 + 3])
         pooled = _pool_one_region(
             feat_ref, band, box, None, spatial_scale, p, h_lim, w_lim, NEG
         )
@@ -182,7 +184,8 @@ def _roi_loop_pool_kernel(
     for i in range(roi_block):
         r = rb * roi_block + i
         x1, y1, x2, y2 = (
-            rois_ref[r, 0], rois_ref[r, 1], rois_ref[r, 2], rois_ref[r, 3],
+            rois_ref[r * 4], rois_ref[r * 4 + 1],
+            rois_ref[r * 4 + 2], rois_ref[r * 4 + 3],
         )
         rw = x2 - x1
         rh = y2 - y1
@@ -280,7 +283,7 @@ def roi_pool_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, p, p, c), feat.dtype),
         interpret=interpret,
-    )(rois_p, feat)
+    )(rois_p.reshape(-1), feat)
     return out[:n]
 
 
@@ -332,5 +335,5 @@ def roi_loop_pool_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, n_pad, p, p, c), feat.dtype),
         interpret=interpret,
-    )(rois_p, feat)
+    )(rois_p.reshape(-1), feat)
     return out[:, :n]
