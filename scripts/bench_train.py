@@ -25,6 +25,9 @@ def build_cfg(refine_k=1, bbox_refine=False, depth=18, mrrp=False, pooler="ROIPo
     cfg.MODEL.RESNETS.DEPTH = depth
     cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64 if depth == 18 else 256
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    # every shipped config freezes the backbone (FREEZE_AT: 5) - the frozen
+    # path also drops the whole backbone backward at compile time
+    cfg.MODEL.BACKBONE.FREEZE_AT = 5
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2048
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1024
     if mrrp:
@@ -33,6 +36,7 @@ def build_cfg(refine_k=1, bbox_refine=False, depth=18, mrrp=False, pooler="ROIPo
         cfg.MODEL.MRRP.MRRP_ON = True
         cfg.MODEL.MRRP.NUM_BRANCH = 3
         cfg.MODEL.MRRP.BRANCH_DILATIONS = [1, 2, 3]
+        cfg.TPU.UNFUSED_ROI_CHUNK = 256  # 3 branches x triple pooled chunks
         pooler = "ROILoopPool"
     cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = pooler
     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7

@@ -310,6 +310,9 @@ def get_cfg() -> CN:
     # (tests/test_roi_pool_fused.py::test_int8_vs_fp_inference_detections);
     # set "none" for bit-parity runs against the fp pipeline.
     _C.TPU.DAN_FC1_QUANT = "int8"
+    # unfused pool->DAN ROI chunk size (memory bound: the pooled tensor only
+    # ever materializes per chunk; MRRP triples it and may need 256)
+    _C.TPU.UNFUSED_ROI_CHUNK = 512
 
     return _C
 

@@ -100,7 +100,7 @@ class WSOVODROIHeads(nn.Module):
     dan_fc1_quant: str = "none"
     # unfused pool->DAN paths process ROIs in chunks of this size so the
     # pooled tensor never fully materializes (0 = no chunking)
-    unfused_roi_chunk: int = 1024
+    unfused_roi_chunk: int = 512
     # WSOVOD.BBOX_REFINE: SAM box-prompted refinement of mined pseudo GT
     bbox_refine: bool = False
     sam_img_size: int = 1024
@@ -215,29 +215,41 @@ class WSOVODROIHeads(nn.Module):
             # time. Per-chunk dropout draws fresh masks, which is fine.
             n = proposals.proposal_boxes.shape[1]
             step = self.unfused_roi_chunk if self.unfused_roi_chunk > 0 else n
-            parts = []
-            for i in range(0, n, step):
-                sl = slice(i, min(i + step, n))
-                pooled = self.pooler(
-                    feats,
-                    proposals.proposal_boxes[:, sl],
-                    proposals.valid[:, sl],
-                    level_ids=None if level_ids is None else level_ids[:, sl],
+
+            def _pool_chunk(mdl, boxes_sl, valid_sl, obj_sl, lvl_sl):
+                pooled = mdl.pooler(
+                    feats, boxes_sl, valid_sl, level_ids=lvl_sl,
                     mask_invalid=False,
                 )
                 # objectness gating (reference :727-744): scale by
-                # (objectness+1); invalid-proposal zeroing folds into the gate
+                # (objectness+1); invalid zeroing folds into the gate
                 gate = (
-                    (proposals.objectness_logits[:, sl] + 1.0)
-                    * proposals.valid[:, sl].astype(
-                        proposals.objectness_logits.dtype
-                    )
+                    (obj_sl + 1.0) * valid_sl.astype(obj_sl.dtype)
                 ).astype(pooled.dtype)
-                if self.pooler.triple:
+                if mdl.pooler.triple:
                     pooled = pooled * gate[None, :, :, None, None, None]
                 else:
                     pooled = pooled * gate[:, :, None, None, None]
-                parts.append(self.box_head(pooled, train=train))
+                return mdl.box_head(pooled, train=train)
+
+            # remat in training: the pre-gate pooled chunk would otherwise be
+            # saved as a backward residual for the gate gradient — at the
+            # MRRP/COCO budget that is ~2 GB per chunk
+            chunk_fn = (
+                nn.remat(_pool_chunk) if (train and n > step) else _pool_chunk
+            )
+            parts = []
+            for i in range(0, n, step):
+                sl = slice(i, min(i + step, n))
+                parts.append(
+                    chunk_fn(
+                        self,
+                        proposals.proposal_boxes[:, sl],
+                        proposals.valid[:, sl],
+                        proposals.objectness_logits[:, sl],
+                        None if level_ids is None else level_ids[:, sl],
+                    )
+                )
             box_features = (
                 parts[0]
                 if len(parts) == 1
@@ -465,6 +477,7 @@ def build_roi_heads(cfg, pooler: ROIPooler) -> WSOVODROIHeads:
         cls_agnostic_bbox_known=ws.CLS_AGNOSTIC_BBOX_KNOWN,
         dtype=cfg.TPU.COMPUTE_DTYPE if cfg.TPU.COMPUTE_DTYPE != "float32" else None,
         dan_fc1_quant=cfg.TPU.DAN_FC1_QUANT,
+        unfused_roi_chunk=cfg.TPU.UNFUSED_ROI_CHUNK,
         bbox_refine=ws.BBOX_REFINE.ENABLE,
         sam_refine_max_boxes=ws.BBOX_REFINE.MAX_BOXES,
     )
