@@ -108,3 +108,32 @@ if mode in ("loop", "all"):
 if mode in ("chain", "all"):
     timeit("roipool->fc1 bf16 (chain)", chain(512), feat, rois, gate, kern)
     timeit("roipool->fc1 int8 (chain)", chain(512, quant="int8"), feat, rois, gate, kern)
+if mode in ("extq", "all"):
+    # bf16 pool kernel + XLA quantize pass + int8 GEMM: trades the kernel's
+    # serial per-region maxabs/broadcast epilogue for one bandwidth-cheap
+    # fused XLA pass over the pooled tensor
+    def chain_extq(ct):
+        @jax.jit
+        def f(feat, rois, gate, kern):
+            acc = None
+            for cb in range(0, C, ct):
+                r = roi_pool_fused_batched(
+                    feat, rois, gate, cb, c_take=ct, spatial_scale=scale,
+                )  # [B, P, P, N, CT] bf16, gate already applied
+                ks = jax.lax.slice_in_dim(kern, cb, cb + ct, axis=2)
+                v32 = r.astype(jnp.float32)
+                m = jnp.max(jnp.abs(v32), axis=(1, 2, 4))  # [B, N]
+                s = jnp.where(m > 1e-20, m / 127.0, 1.0)
+                q = jnp.round(
+                    v32 / s[:, None, None, :, None]
+                ).astype(jnp.int8)
+                s_w = jnp.max(jnp.abs(ks), axis=(0, 1, 2)) / 127.0
+                k_q = jnp.clip(jnp.round(ks / s_w), -127, 127).astype(jnp.int8)
+                y = jnp.einsum(
+                    "bhwnc,hwcf->bnf", q, k_q, preferred_element_type=jnp.int32
+                )
+                y = y.astype(jnp.float32) * s[..., None] * s_w
+                acc = y if acc is None else acc + y
+            return acc[tuple(0 for _ in acc.shape)]
+        return f
+    timeit("roipool->fc1 bf16+XLAq->int8GEMM (chain)", chain_extq(512), feat, rois, gate, kern)

@@ -97,9 +97,13 @@ class ROIPooler:
         into the DAN's chunked fc1 (the ~1 GB/image pooled tensor never
         materializes), or None when this path doesn't apply.
 
-        At inference with ``fc1_quant='int8'`` the kernels emit pre-quantized
-        ``(int8 payload, per-ROI scale)`` tuples — the quantize pass and its
-        HBM round-trip disappear into the pooling epilogue."""
+        Chunks are always bf16/f32: with ``TPU.DAN_FC1_QUANT='int8'`` the
+        DAN's ``ChunkedDenseGeneral`` quantizes them in one fused XLA pass
+        per chunk. The kernels' fused int8 emission (``quant='int8'``) is
+        deliberately NOT used here — its per-region maxabs reduce +
+        scalar-broadcast epilogue serializes the VPU and measured ~50 ms
+        SLOWER end-to-end than bf16 emission + XLA quantize at the COCO
+        bench shape (v5e, see scripts/bench_maxpool_kernel.py extq)."""
         if self.roi_align_kernel != "fused" or len(features) != 1:
             return None
         if self.pooler_type not in ("ROIPool", "ROILoopPool", "ROIAlignV2"):
@@ -115,35 +119,15 @@ class ROIPooler:
             jnp.float32
         )
         boxes = jnp.where(valid[..., None], boxes, 0.0).astype(jnp.float32)
-        # quantized emission is inference-only (round() has zero gradient)
-        quant = "int8" if (self.fc1_quant == "int8" and not train) else "none"
-        # chunk width = the kernel's native c_tile so int8 scales are
-        # per-(ROI, chunk); 512 measured fastest at C=2048 (loop pool: 256,
-        # its two extra band buffers halve the VMEM budget)
+        # chunk width = the kernel's native c_tile so downstream int8 scales
+        # are per-(ROI, chunk); 512 measured fastest at C=2048 (loop pool:
+        # 256, its two extra band buffers halve the VMEM budget)
         c_unit = 256 if self.pooler_type == "ROILoopPool" else 512
         c_take = c_unit if c % c_unit == 0 else c
-        if quant == "int8" and c % c_unit != 0:
-            quant = "none"  # per-chunk scales need chunk == c_tile
 
         if self.pooler_type == "ROIAlignV2":
-            from ..ops.pallas.roi_align_fused import (
-                roi_align_fused_ad,
-                roi_align_fused_batched,
-            )
+            from ..ops.pallas.roi_align_fused import roi_align_fused_ad
 
-            if quant == "int8":
-                return [
-                    self._squeeze_scale(
-                        roi_align_fused_batched(
-                            feat, boxes, gate, cb, c_take=c_take,
-                            output_size=self.output_size,
-                            spatial_scale=self.scales[0],
-                            sampling_ratio=self.sampling_ratio,
-                            hwnc_out=True, quant="int8",
-                        )
-                    )
-                    for cb in range(0, c, c_take)
-                ]
             return [
                 roi_align_fused_ad(
                     feat, boxes, gate, cb, c_take, self.output_size,
@@ -152,24 +136,9 @@ class ROIPooler:
                 for cb in range(0, c, c_take)
             ]
 
-        from ..ops.pallas.roi_pool_fused import (
-            roi_pool_fused_ad,
-            roi_pool_fused_batched,
-        )
+        from ..ops.pallas.roi_pool_fused import roi_pool_fused_ad
 
         loop = self.pooler_type == "ROILoopPool"
-        if quant == "int8":
-            return [
-                self._squeeze_scale(
-                    roi_pool_fused_batched(
-                        feat, boxes, gate, cb, c_take=c_take,
-                        output_size=self.output_size,
-                        spatial_scale=self.scales[0], loop_pool=loop,
-                        quant="int8",
-                    )
-                )
-                for cb in range(0, c, c_take)
-            ]
         return [
             roi_pool_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,
@@ -177,12 +146,6 @@ class ROIPooler:
             )
             for cb in range(0, c, c_take)
         ]
-
-    @staticmethod
-    def _squeeze_scale(pair):
-        """(payload, scales [(3,) B, n_ct=1, N]) -> (payload, [(3,) B, N])."""
-        payload, scales = pair
-        return payload, jnp.squeeze(scales, axis=-2)
 
     def _pool_one_level(self, feat, boxes, scale):
         """feat [H, W, C], boxes [P, 4] -> [P, S, S, C] or [3, P, S, S, C]."""
