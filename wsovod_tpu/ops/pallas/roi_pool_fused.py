@@ -73,7 +73,13 @@ def _round_scalar(x):
 
 def _region_meta(x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim):
     """Rounded integer region + per-bin [lo, hi) edges as python lists of
-    traced scalars (torchvision convention; exact integer floor/ceil)."""
+    traced scalars (torchvision convention; exact integer floor/ceil).
+
+    The w edges are returned as a THUNK: the scalar-core serialization of
+    the 28 per-ROI edge computations costs ~36 ms across the bench sweep
+    (measured v5e), and the narrow/MXU stage B recomputes its w edges
+    vectorized on the VPU instead — only the wide fallback branch forces
+    the scalar w lists."""
     rx1 = _round_scalar(x1 * spatial_scale)
     ry1 = _round_scalar(y1 * spatial_scale)
     rx2 = _round_scalar(x2 * spatial_scale)
@@ -82,9 +88,34 @@ def _region_meta(x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim):
     rh = jnp.maximum(ry2 - ry1 + 1, 1)
     hlo = [jnp.clip((ph * rh) // p + ry1, 0, h_lim) for ph in range(p)]
     hhi = [jnp.clip(-((-(ph + 1) * rh) // p) + ry1, 0, h_lim) for ph in range(p)]
-    wlo = [jnp.clip((pw * rw) // p + rx1, 0, w_lim) for pw in range(p)]
-    whi = [jnp.clip(-((-(pw + 1) * rw) // p) + rx1, 0, w_lim) for pw in range(p)]
-    return rx1, rw, hlo, hhi, wlo, whi
+
+    def w_edges():
+        wlo = [jnp.clip((pw * rw) // p + rx1, 0, w_lim) for pw in range(p)]
+        whi = [
+            jnp.clip(-((-(pw + 1) * rw) // p) + rx1, 0, w_lim)
+            for pw in range(p)
+        ]
+        return wlo, whi
+
+    return rx1, rw, hlo, hhi, w_edges
+
+
+def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile):
+    """Stage A (narrow path): per-bin row fold with the running max as the
+    ``fori`` CARRY — a [win, CT] bf16 value small enough for Mosaic to keep
+    in vector registers, so each row costs ONE VMEM slab read instead of the
+    read-modify-write triple of the in-place ``band[ph] = max(band[ph],
+    row)`` form. Band is written once per bin (empty bins get the NEG init,
+    matching the in-place path's semantics)."""
+    neg = full_buf.dtype.type(NEG)
+    for ph in range(p):
+        def body(h, acc):
+            return jnp.maximum(acc, full_buf[0, h, pl.ds(x0, win)])
+
+        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        band[ph, :win] = jax.lax.fori_loop(
+            hlo[ph], hhi[ph], body, init, unroll=False
+        )
 
 
 def _fold_rows(full_buf, band, band2, hlo, hhi, x0, wd, win, p, row_cond=None):
@@ -113,7 +144,7 @@ def _fold_rows(full_buf, band, band2, hlo, hhi, x0, wd, win, p, row_cond=None):
         jax.lax.fori_loop(hlo[ph], hhi[ph], body, 0, unroll=False)
 
 
-def _onehot_gather_max(band, wd, x0, wlo, whi, p, j_cap, c_tile, dtype):
+def _onehot_gather_max(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype):
     """Stage B via MXU one-hot gathers (narrow path; bin width <= ``j_cap``).
 
     Builds one [p*j_cap, wd] one-hot matrix whose row ``pw*j_cap + j``
@@ -125,18 +156,21 @@ def _onehot_gather_max(band, wd, x0, wlo, whi, p, j_cap, c_tile, dtype):
     features). Empty bins (vertically or horizontally) come out as ``NEG``
     and are zeroed by the caller's empty-bin epilogue.
 
+    The per-bin w edges are computed VECTORIZED here from the scalar
+    ``rx1``/``rw`` (same floor/ceil integer formulas as
+    ``_region_meta.w_edges`` — jnp ``//`` is floor division like Python's):
+    two cheap scalar->vector broadcasts replace 14 serialized scalar-core
+    edge computations per region.
+
     Replaces the 49 masked full-band maxes of ``_band_max`` — ~6x less VPU
     work, with the gather riding the otherwise-idle MXU.
     """
     k = p * j_cap
     r_i = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     jj = r_i % j_cap
-    wlo_v = jnp.zeros((k, 1), jnp.int32)
-    whi_v = jnp.zeros((k, 1), jnp.int32)
-    for pw in range(p):
-        sel = (r_i // j_cap) == pw
-        wlo_v = jnp.where(sel, wlo[pw], wlo_v)
-        whi_v = jnp.where(sel, whi[pw], whi_v)
+    pwv = r_i // j_cap
+    wlo_v = jnp.clip((pwv * rw) // p + rx1, 0, w_lim)
+    whi_v = jnp.clip(-((-(pwv + 1) * rw) // p) + rx1, 0, w_lim)
     tcol = wlo_v - x0 + jj
     valid = (wlo_v + jj) < whi_v
     ciota = jax.lax.broadcasted_iota(jnp.int32, (k, wd), 1)
@@ -264,21 +298,29 @@ def _fused_pool_kernel(
         gate = rois_ref[r * 5 + 4]
 
         if not loop_pool:
-            rx1, rw, hlo, hhi, wlo, whi = _region_meta(
+            rx1, rw, hlo, hhi, w_edges = _region_meta(
                 x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
             )
 
-            def compute(x0, w_sl, wlo=wlo, whi=whi, hlo=hlo, hhi=hhi):
+            def compute(x0, w_sl, hlo=hlo, hhi=hhi):
                 wd = w_sl or w_dma
-                band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
-                _fold_rows(full_buf, band_a, None, hlo, hhi, x0, wd, w_sl, p)
                 if w_sl is not None:
+                    _fold_rows_carry(
+                        full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile
+                    )
                     # narrow ROI (bin width <= win//7 + 1 <= 8): MXU path
                     pooled = _onehot_gather_max(
-                        band_a, wd, x0, wlo, whi, p, 8, c_tile,
+                        band_a, wd, x0, rx1, rw, w_lim, p, 8, c_tile,
                         full_buf.dtype,
                     )
                 else:
+                    band_a[:, :wd] = jnp.full(
+                        (p, wd, c_tile), neg, full_buf.dtype
+                    )
+                    _fold_rows(
+                        full_buf, band_a, None, hlo, hhi, x0, wd, w_sl, p
+                    )
+                    wlo, whi = w_edges()
                     col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
                     pooled = _band_max(band_a, wd, col, wlo, whi, p).astype(
                         jnp.float32
@@ -330,12 +372,14 @@ def _fused_pool_kernel(
             xo2 = _clipf(x2 + out_dw, img_w)
             yo2 = _clipf(y2 + out_dh, img_h)
 
-            rx1_r, rw_r, hlo_r, hhi_r, wlo_r, whi_r = _region_meta(
+            rx1_r, rw_r, hlo_r, hhi_r, we_r = _region_meta(
                 x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
             )
-            rx1_o, rw_o, hlo_o, hhi_o, wlo_o, whi_o = _region_meta(
+            rx1_o, rw_o, hlo_o, hhi_o, we_o = _region_meta(
                 xo1, yo1, xo2, yo2, spatial_scale, p, h_lim, w_lim
             )
+            wlo_r, whi_r = we_r()
+            wlo_o, whi_o = we_o()
 
             def compute_loop(x0, w_sl):
                 wd = w_sl or w_dma
