@@ -273,8 +273,11 @@ def test_model_level_fused_chunk_wiring(pooler_type, monkeypatch):
             7, scales=[0.25], pooler_type=pooler_type, roi_align_kernel="fused"
         )
         dan = DiscriminativeAdaptationNeck(fc_dims=(32,))
-        chunks = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
+        chunks, unsort_idx = pooler.fused_chunk_pool(
+            [feat], rois, obj, valid, train=False
+        )
         assert chunks is not None and len(chunks) >= 1
+        assert unsort_idx is None  # non-MRRP: rows stay in proposal order
         params = dan.init(jax.random.PRNGKey(0), chunks, train=False)
         got = np.asarray(dan.apply(params, chunks, train=False))
 
@@ -373,3 +376,190 @@ def test_int8_vs_fp_inference_detections(monkeypatch):
     finally:
         rpf._INTERPRET = False
         raf._INTERPRET = False
+
+
+def test_branch_partition_roundtrip():
+    """branch_partition produces branch-pure 8-blocks, gate-0 pads, and an
+    exact unsort permutation."""
+    from wsovod_tpu.models.poolers import branch_partition
+
+    rng = np.random.RandomState(3)
+    b, n, n_br = 2, 21, 3
+    boxes = jnp.asarray(rng.randn(b, n, 4).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2, (b, n)).astype(np.float32))
+    branch = jnp.asarray(rng.randint(0, n_br, (b, n)))
+    boxes_s, gate_s, branch_s, unsort = branch_partition(boxes, gate, branch, n_br)
+    n_p = boxes_s.shape[1]
+    assert n_p % 8 == 0 and gate_s.shape == (b, n_p)
+    # blocks are branch-pure
+    bb = np.asarray(branch_s).reshape(b, -1, 8)
+    assert (bb == bb[:, :, :1]).all()
+    # unsort restores the original rows exactly
+    back_b = np.take_along_axis(np.asarray(boxes_s), np.asarray(unsort)[..., None], 1)
+    back_g = np.take_along_axis(np.asarray(gate_s), np.asarray(unsort), 1)
+    np.testing.assert_array_equal(back_b, np.asarray(boxes))
+    np.testing.assert_array_equal(back_g, np.asarray(gate))
+    # sorted rows carry their own branch; pads have gate 0
+    for bi in range(b):
+        pos = np.asarray(unsort)[bi]
+        assert (np.asarray(branch_s)[bi][pos] == np.asarray(branch)[bi]).all()
+        pad_mask = np.ones(n_p, bool)
+        pad_mask[pos] = False
+        assert (np.asarray(gate_s)[bi][pad_mask] == 0).all()
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_fused_branched_mrrp(loop):
+    """Branched fused kernel == per-branch jnp pool + per-ROI branch select
+    (the reference's MRRP pool-all-and-select semantics)."""
+    from wsovod_tpu.models.poolers import branch_partition
+
+    rng = np.random.RandomState(7)
+    b, n_br, h, w, c, n = 2, 3, 16, 22, 128, 19
+    scale = 0.25
+    feat = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+    xy = rng.uniform(0, 60, (b, n, 2))
+    wh = rng.uniform(4, 30, (b, n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2, (b, n)).astype(np.float32))
+    branch = jnp.asarray(rng.randint(0, n_br, (b, n)))
+
+    boxes_s, gate_s, branch_s, unsort = branch_partition(rois, gate, branch, n_br)
+    rpf._INTERPRET = True
+    try:
+        out = rpf.roi_pool_fused_branched_ad(
+            feat, boxes_s, gate_s, branch_s.astype(jnp.float32), 0, None, 7,
+            scale, loop, 1.8,
+        )
+    finally:
+        rpf._INTERPRET = False
+    # -> [(3,) B, N, 7, 7, C] in proposal order
+    if loop:
+        got = np.transpose(np.asarray(out), (0, 1, 4, 2, 3, 5))
+        got = np.take_along_axis(
+            got, np.asarray(unsort)[None, :, :, None, None, None], axis=2
+        )
+    else:
+        got = np.transpose(np.asarray(out), (0, 3, 1, 2, 4))
+        got = np.take_along_axis(
+            got, np.asarray(unsort)[:, :, None, None, None], axis=1
+        )
+
+    pool1 = roi_loop_pool if loop else roi_pool
+    per_img = []
+    for bi in range(b):
+        pooled_all = jnp.stack(
+            [pool1(feat[br * b + bi], rois[bi], 7, scale) for br in range(n_br)]
+        )
+        sel = branch[bi]
+        sel = (
+            sel[None, None, :, None, None, None]
+            if loop
+            else sel[None, :, None, None, None]
+        )
+        per_img.append(jnp.take_along_axis(pooled_all, sel, axis=0)[0])
+    want = jnp.stack(per_img, axis=1 if loop else 0)
+    gx = gate[:, :, None, None, None]
+    want = np.asarray(want * (gx[None] if loop else gx))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_model_level_fused_mrrp_wiring(monkeypatch):
+    """MRRP fused_chunk_pool + DAN + unsort == unfused MRRP pooler path."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(11)
+        b, n_br, h, w, c, n = 2, 2, 12, 15, 128, 10
+        feat = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 30, (b, n, 2))
+        wh = rng.uniform(4, 20, (b, n, 2))
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, n) > 0.2)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        rois = jnp.where(valid[..., None], rois, 0.0)
+        level_ids = jnp.asarray(rng.randint(0, 3, (b, n)) * 1000)
+
+        pooler = ROIPooler(
+            7, scales=[0.25], pooler_type="ROILoopPool",
+            roi_align_kernel="fused", mrrp_on=True, mrrp_num_branch=n_br,
+        )
+        dan = DiscriminativeAdaptationNeck(fc_dims=(32,))
+        chunks, unsort = pooler.fused_chunk_pool(
+            [feat], rois, obj, valid, train=False, level_ids=level_ids
+        )
+        assert chunks is not None and unsort is not None
+        params = dan.init(jax.random.PRNGKey(0), chunks, train=False)
+        got = np.asarray(dan.apply(params, chunks, train=False))
+        got = np.take_along_axis(got, np.asarray(unsort)[None, :, :, None], 2)
+
+        # unfused reference: pool every branch with the jnp loop pool,
+        # select per ROI by branch id, gate, DAN
+        branch = (level_ids // 1000) % n_br
+        per_img = []
+        for bi in range(b):
+            pooled_all = jnp.stack(
+                [roi_loop_pool(feat[br * b + bi], rois[bi], 7, 0.25) for br in range(n_br)]
+            )
+            sel = branch[bi][None, None, :, None, None, None]
+            per_img.append(jnp.take_along_axis(pooled_all, sel, axis=0)[0])
+        pooled = jnp.stack(per_img, axis=1)
+        gate = ((obj + 1.0) * valid).astype(pooled.dtype)
+        pooled = pooled * gate[None, :, :, None, None, None]
+        want = np.asarray(dan.apply(params, pooled, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    finally:
+        rpf._INTERPRET = False
+
+
+def test_chunked_dan_thunk_remat_grads(monkeypatch):
+    """Training path: fused_chunk_pool emits ChunkThunks and the rematted
+    pool->fc1 units produce the same outputs AND parameter grads as the
+    eager array path."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ChunkThunk, ROIPooler
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(21)
+        b, h, w, c, n = 2, 10, 12, 256, 9
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 30, (b, n, 2))
+        wh = rng.uniform(4, 15, (b, n, 2))
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        valid = jnp.ones((b, n), bool)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+
+        pooler = ROIPooler(
+            7, scales=[0.25], pooler_type="ROILoopPool",
+            roi_align_kernel="fused",
+        )
+        thunks, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=True)
+        assert all(isinstance(t, ChunkThunk) for t in thunks)
+        arrays, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
+        plain, _ = pooler.__class__(
+            7, scales=[0.25], pooler_type="ROIPool", roi_align_kernel="fused"
+        ).fused_chunk_pool([feat], rois, obj, valid, train=True)
+        assert not any(isinstance(t, ChunkThunk) for t in plain)
+
+        dan = DiscriminativeAdaptationNeck(fc_dims=(16,), dropout_rate=0.0)
+        params = dan.init(jax.random.PRNGKey(0), thunks, train=True)
+
+        def loss(p, x):
+            return jnp.sum(dan.apply(p, x, train=True) ** 2)
+
+        lt, gt = jax.value_and_grad(loss)(params, thunks)
+        la, ga = jax.value_and_grad(loss)(params, arrays)
+        np.testing.assert_allclose(np.asarray(lt), np.asarray(la), rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a_, b_: np.testing.assert_allclose(
+                np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-5
+            ),
+            gt, ga,
+        )
+    finally:
+        rpf._INTERPRET = False

@@ -60,12 +60,29 @@ class ChunkedDenseGeneral(nn.Module):
         )
         hwnc = self.chunk_layout == "hwnc"
         if hwnc:
-            eq = "rbhwnc,hwcf->rbnf" if first.ndim == 6 else "bhwnc,hwcf->bnf"
+            eq = "rbhwnc,hwcf->rbnf" if len(first.shape) == 6 else "bhwnc,hwcf->bnf"
         else:
             eq = "...hwc,hwcf->...f"
         acc = None
         c0 = 0
         for item in chunks:
+            if callable(item):
+                # deferred pooled chunk (ChunkThunk, training): remat the
+                # pool -> partial-fc1 unit so the ~GB pooled chunk is
+                # recomputed in backward, never saved as an einsum residual
+                ci = item.shape[-1]
+                k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
+
+                def unit(k_c, item=item):
+                    return jnp.einsum(
+                        eq, item().astype(dt), k_c.astype(dt),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                y = jax.checkpoint(unit)(k)
+                acc = y if acc is None else acc + y
+                c0 += ci
+                continue
             pre_q = isinstance(item, tuple)
             x = item[0] if pre_q else item
             ci = x.shape[-1]

@@ -19,6 +19,7 @@ without changing this interface).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -39,6 +40,86 @@ def assign_boxes_to_levels(
     sqrt_area = jnp.sqrt(jnp.maximum(box_area(boxes), 1e-8))
     lvl = jnp.floor(canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8))
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32) - min_level
+
+
+class ChunkThunk:
+    """Deferred pooled-channel chunk for the training path: calling it runs
+    the fused pool kernel for its channel range. ``ChunkedDenseGeneral``
+    wraps each (thunk -> fc1 partial product) unit in ``jax.checkpoint`` so
+    the pooled chunk is RECOMPUTED in backward instead of being saved as an
+    einsum residual — the saved chunks are ~1.4 GB each at the MRRP/COCO
+    budget (8 x 1.42 GB OOM'd a 16 GB chip; measured r3)."""
+
+    def __init__(self, fn, shape, dtype):
+        self.fn = fn
+        self.shape = shape
+        self.dtype = dtype
+
+    def __call__(self):
+        return self.fn()
+
+
+def branch_partition(
+    boxes: jnp.ndarray,  # [B, N, 4]
+    gate: jnp.ndarray,  # [B, N]
+    branch: jnp.ndarray,  # [B, N] int32 in [0, n_br)
+    n_br: int,
+    roi_block: int = 8,
+):
+    """Stable-sort ROIs by MRRP branch id into branch-PURE ``roi_block``
+    segments for the branched fused pooling kernel.
+
+    Each branch's ROIs are packed contiguously, with the segment padded to a
+    ``roi_block`` multiple by gate-0 zero-box rows, so every kernel block
+    reads from exactly one branch's feature copy. Returns
+    ``(boxes_s [B, N', 4], gate_s [B, N'], branch_s [B, N'], unsort_idx
+    [B, N])`` with ``N' = ceil(N/RB)*RB + n_br*RB`` (static);
+    ``take_along_axis(out, unsort_idx, axis=-2)`` on any per-ROI output
+    restores proposal order."""
+    b, n = branch.shape
+    rb = roi_block
+    n_prime = -(-n // rb) * rb + n_br * rb
+
+    counts = jnp.stack(
+        [jnp.sum(branch == br, axis=1) for br in range(n_br)], axis=1
+    )  # [B, n_br]
+    padded = -(-counts // rb) * rb
+    seg_start = jnp.concatenate(
+        [jnp.zeros((b, 1), counts.dtype), jnp.cumsum(padded, axis=1)[:, :-1]],
+        axis=1,
+    )  # [B, n_br]
+    cum_counts = jnp.concatenate(
+        [jnp.zeros((b, 1), counts.dtype), jnp.cumsum(counts, axis=1)[:, :-1]],
+        axis=1,
+    )
+    order = jnp.argsort(branch, axis=1, stable=True)  # [B, N] sorted->orig
+    sorted_branch = jnp.take_along_axis(branch, order, axis=1)
+    rank = jnp.arange(n, dtype=counts.dtype)[None] - jnp.take_along_axis(
+        cum_counts, sorted_branch, axis=1
+    )
+    new_pos = jnp.take_along_axis(seg_start, sorted_branch, axis=1) + rank
+    bidx = jnp.arange(b)[:, None]
+
+    boxes_s = jnp.zeros((b, n_prime, 4), boxes.dtype)
+    boxes_s = boxes_s.at[bidx, new_pos].set(
+        jnp.take_along_axis(boxes, order[..., None], axis=1)
+    )
+    gate_s = jnp.zeros((b, n_prime), gate.dtype)
+    gate_s = gate_s.at[bidx, new_pos].set(
+        jnp.take_along_axis(gate, order, axis=1)
+    )
+    # per-ROI branch derived block-wise so segment padding inherits the
+    # segment's branch (keeps blocks pure AND avoids spurious tile re-DMAs)
+    block_idx = jnp.arange(n_prime // rb, dtype=counts.dtype)[None]
+    block_branch = jnp.zeros_like(block_idx) + sum(
+        (block_idx >= (seg_start[:, br : br + 1] // rb)).astype(counts.dtype)
+        for br in range(1, n_br)
+    )
+    branch_s = jnp.repeat(block_branch, rb, axis=1).astype(jnp.int32)
+    # unsort: output row new_pos[i] holds sorted ROI i = original order[i]
+    unsort_idx = jnp.zeros((b, n), jnp.int32)
+    unsort_idx = unsort_idx.at[bidx, order].set(new_pos.astype(jnp.int32))
+    return boxes_s, gate_s, branch_s, unsort_idx
 
 
 class ROIPooler:
@@ -86,16 +167,30 @@ class ROIPooler:
         objectness: jnp.ndarray,  # [B, P]
         valid: jnp.ndarray,  # [B, P]
         train: bool = False,
-    ) -> Optional[List]:
+        level_ids: Optional[jnp.ndarray] = None,  # [B, P] (MRRP routing)
+    ):
         """Fused pool+gate for the single-level shipped pooler types
         (``ROIPool`` — the flagship configs, ``ROILoopPool`` — MRRP,
         ``ROIAlignV2``): one image-batched Pallas kernel per channel chunk,
         with the WSOVOD objectness gate ``(objectness+1)*valid`` folded into
-        the kernel output. Returns hwnc-layout ``[(3,) B, S, S, P, c_i]``
-        chunks (pair with DAN ``chunk_layout='hwnc'``; leading 3 for
-        ROILoopPool's ROI/frame/context rows) meant to be streamed straight
-        into the DAN's chunked fc1 (the ~1 GB/image pooled tensor never
-        materializes), or None when this path doesn't apply.
+        the kernel output.
+
+        Returns ``(chunks, unsort_idx)``: hwnc-layout
+        ``[(3,) B, S, S, P', c_i]`` chunks (pair with DAN
+        ``chunk_layout='hwnc'``; leading 3 for ROILoopPool's
+        ROI/frame/context rows) meant to be streamed straight into the DAN's
+        chunked fc1 (the ~1 GB/image pooled tensor never materializes), or
+        ``(None, None)`` when this path doesn't apply.
+
+        MRRP branch-concat features ([n_br*B, H, W, C], reference
+        ``poolers.py:111-116``) route each ROI to its branch's feature copy
+        INSIDE the kernel: ROIs are sorted by branch id into branch-pure
+        8-ROI blocks (segments padded with gate-0 rows, P' >= P) and each
+        block DMAs its resident tile from a per-block source table — one
+        pooling pass instead of pool-all-branches-and-select. The rows come
+        back branch-sorted; ``unsort_idx`` ([B, P], else None) gathers the
+        DAN output back to proposal order (unsorting the [B, P, F] fc
+        output costs ~1 ms; unsorting the pooled tensor would cost ~100x).
 
         Chunks are always bf16/f32: with ``TPU.DAN_FC1_QUANT='int8'`` the
         DAN's ``ChunkedDenseGeneral`` quantizes them in one fused XLA pass
@@ -104,16 +199,18 @@ class ROIPooler:
         scalar-broadcast epilogue serializes the VPU and measured ~50 ms
         SLOWER end-to-end than bf16 emission + XLA quantize at the COCO
         bench shape (v5e, see scripts/bench_maxpool_kernel.py extq)."""
+        none = (None, None)
         if self.roi_align_kernel != "fused" or len(features) != 1:
-            return None
+            return none
         if self.pooler_type not in ("ROIPool", "ROILoopPool", "ROIAlignV2"):
-            return None
+            return none
         feat = features[0]
-        if self.mrrp_on and feat.shape[0] != boxes.shape[0]:
-            return None  # MRRP branch-concat layout: per-branch fallback path
+        mrrp = self.mrrp_on and feat.shape[0] != boxes.shape[0]
+        if mrrp and self.pooler_type == "ROIAlignV2":
+            return none  # no branched fused align kernel; per-branch fallback
         c = feat.shape[-1]
         if not self._on_tpu() or c % 128 != 0:
-            return None
+            return none
 
         gate = ((objectness + 1.0) * valid.astype(objectness.dtype)).astype(
             jnp.float32
@@ -125,27 +222,68 @@ class ROIPooler:
         c_unit = 256 if self.pooler_type == "ROILoopPool" else 512
         c_take = c_unit if c % c_unit == 0 else c
 
+        b = boxes.shape[0]
+        s = self.output_size
+
+        def emit(make_chunk, n_rows, triple):
+            shape = (3,) * int(triple) + (b, s, s, n_rows, c_take)
+            if train and triple:
+                # deferred: ChunkedDenseGeneral remats each pool->fc1 unit.
+                # Only the triple (ROILoopPool) chunks need this — their
+                # fc1-backward residuals are 3x and OOM a 16 GB chip at the
+                # COCO budget; plain chunks fit and skip the recompute.
+                return [
+                    ChunkThunk(
+                        functools.partial(make_chunk, cb), shape, feat.dtype
+                    )
+                    for cb in range(0, c, c_take)
+                ]
+            return [make_chunk(cb) for cb in range(0, c, c_take)]
+
         if self.pooler_type == "ROIAlignV2":
             from ..ops.pallas.roi_align_fused import roi_align_fused_ad
 
-            return [
-                roi_align_fused_ad(
+            def mk_align(cb):
+                return roi_align_fused_ad(
                     feat, boxes, gate, cb, c_take, self.output_size,
                     self.scales[0], self.sampling_ratio, True,  # hwnc_out
                 )
-                for cb in range(0, c, c_take)
-            ]
 
-        from ..ops.pallas.roi_pool_fused import roi_pool_fused_ad
+            return emit(mk_align, boxes.shape[1], False), None
+
+        from ..ops.pallas.roi_pool_fused import (
+            roi_pool_fused_ad,
+            roi_pool_fused_branched_ad,
+        )
 
         loop = self.pooler_type == "ROILoopPool"
-        return [
-            roi_pool_fused_ad(
+        if mrrp:
+            n_br = feat.shape[0] // b
+            branch = (
+                (level_ids // 1000) % n_br
+                if level_ids is not None
+                else jnp.zeros(boxes.shape[:2], jnp.int32)
+            )
+            boxes_s, gate_s, branch_s, unsort_idx = branch_partition(
+                boxes, gate, branch, n_br
+            )
+            branch_f = branch_s.astype(jnp.float32)
+
+            def mk_branched(cb):
+                return roi_pool_fused_branched_ad(
+                    feat, boxes_s, gate_s, branch_f, cb, c_take,
+                    self.output_size, self.scales[0], loop, 1.8,
+                )
+
+            return emit(mk_branched, boxes_s.shape[1], loop), unsort_idx
+
+        def mk_plain(cb):
+            return roi_pool_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,
                 self.scales[0], loop, 1.8,
             )
-            for cb in range(0, c, c_take)
-        ]
+
+        return emit(mk_plain, boxes.shape[1], loop), None
 
     def _pool_one_level(self, feat, boxes, scale):
         """feat [H, W, C], boxes [P, 4] -> [P, S, S, C] or [3, P, S, S, C]."""

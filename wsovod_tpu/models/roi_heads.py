@@ -195,19 +195,29 @@ class WSOVODROIHeads(nn.Module):
         # the kernel folds the (objectness+1)*valid gate in and emits channel
         # chunks that the DAN contracts into fc1 without materializing the
         # [B, P, S, S, C] pooled tensor
-        chunks = (
+        chunks, unsort_idx = (
             self.pooler.fused_chunk_pool(
                 feats,
                 proposals.proposal_boxes,
                 proposals.objectness_logits,
                 proposals.valid,
                 train=train,
+                level_ids=level_ids,
             )
             if not self.dan_conv_dims
-            else None
+            else (None, None)
         )
         if chunks is not None:
-            box_features = self.box_head(chunks, train=train)  # [B, P, F]
+            box_features = self.box_head(chunks, train=train)  # [(3,) B, P', F]
+            if unsort_idx is not None:
+                # MRRP branch-sorted rows -> proposal order (cheap on the
+                # [B, P, F] fc output; prohibitive on the pooled tensor)
+                idx = unsort_idx[..., None]
+                if self.pooler.triple:
+                    idx = idx[None]
+                box_features = jnp.take_along_axis(
+                    box_features, idx, axis=-2
+                )
         else:
             # ROI-chunked pool -> gate -> DAN: the full pooled tensor
             # ([(3,) B, P, 7, 7, C] — ~12 GB at the MRRP/ROILoopPool COCO

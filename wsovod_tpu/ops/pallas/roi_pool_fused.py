@@ -165,30 +165,56 @@ def _onehot_gather_max(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype):
     Replaces the 49 masked full-band maxes of ``_band_max`` — ~6x less VPU
     work, with the gather riding the otherwise-idle MXU.
     """
+    vals, valid, _ = _onehot_candidates(
+        band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype
+    )
+    return _jgroup_max(vals, valid, p, j_cap, c_tile)
+
+
+def _onehot_candidates(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype):
+    """Shared first half of the MXU stage B: build the bin one-hot for the
+    region ``(rx1, rw)`` and gather every candidate column of ``band`` with
+    one dot per output row. Returns ``(vals, valid, tabs)``: ``vals[ph]``
+    is the [p*j_cap, CT] f32 candidate matrix, ``valid`` the in-bin row
+    mask, and ``tabs`` each candidate's ABSOLUTE feature column (for hole
+    masks).
+    Splitting the gather from the reduce lets ROILoopPool's five region
+    variants share two dot sets instead of running five masked band maxes.
+    """
     k = p * j_cap
     r_i = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     jj = r_i % j_cap
     pwv = r_i // j_cap
     wlo_v = jnp.clip((pwv * rw) // p + rx1, 0, w_lim)
     whi_v = jnp.clip(-((-(pwv + 1) * rw) // p) + rx1, 0, w_lim)
-    tcol = wlo_v - x0 + jj
-    valid = (wlo_v + jj) < whi_v
+    tabs = wlo_v + jj
+    valid = tabs < whi_v
     ciota = jax.lax.broadcasted_iota(jnp.int32, (k, wd), 1)
     onehot = jnp.where(
-        jnp.logical_and(ciota == tcol, valid), 1.0, 0.0
+        jnp.logical_and(ciota == tabs - x0, valid), 1.0, 0.0
     ).astype(dtype)
-    negf = jnp.float32(NEG)
-    outs = []
-    for ph in range(p):
-        vals = jax.lax.dot_general(
+    vals = [
+        jax.lax.dot_general(
             onehot,
             band[ph, :wd],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [K, CT]
-        masked = jnp.where(valid, vals, negf)
-        outs.append(jnp.max(masked.reshape(p, j_cap, c_tile), axis=1))
-    return jnp.stack(outs, axis=0)  # [P(ph), P(pw), CT] f32
+        )
+        for ph in range(p)
+    ]
+    return vals, valid, tabs
+
+
+def _jgroup_max(vals, mask, p, j_cap, c_tile):
+    """Second half: masked max over each bin's j-group -> [P, P, CT] f32."""
+    negf = jnp.float32(NEG)
+    outs = [
+        jnp.max(
+            jnp.where(mask, v, negf).reshape(p, j_cap, c_tile), axis=1
+        )
+        for v in vals
+    ]
+    return jnp.stack(outs, axis=0)
 
 
 def _band_max(band, wd, col, wlo, whi, p, hole_x=None):
@@ -252,7 +278,10 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
 def _fused_pool_kernel(
     rois_ref,  # [B*N_pad*5] SMEM: x1,y1,x2,y2,gate per ROI
     cbase_ref,  # [1] SMEM channel base of this chunk
-    feat_hbm,  # [B, H, W_dma, C] ANY/HBM
+    src_ref,  # [B*(N_pad//RB)] SMEM per-block feat dim-0 DMA source (MRRP
+    #           branch routing: blocks are branch-pure, table = br*B + b;
+    #           without routing the table is constant b)
+    feat_hbm,  # [B or n_br*B, H, W_dma, C] ANY/HBM
     out_ref,  # [(3,) 1, P, P, RB, CT] VMEM
     scale_ref,  # [(3,) 1, 1, RB] VMEM (quant) or None-like dummy
     full_buf,  # [1, H, W_dma, CT] VMEM resident tile
@@ -279,10 +308,19 @@ def _fused_pool_kernel(
     rbi = pl.program_id(2)
     c0 = pl.multiple_of(cbase_ref[0] + ct_i * c_tile, 128)
 
-    @pl.when(rbi == 0)
+    n_blocks = n_pad // roi_block
+    src = src_ref[b * n_blocks + rbi]
+    # refresh the resident tile at the sweep start and whenever the block's
+    # DMA source changes (branch-sorted MRRP blocks: <= n_br refreshes per
+    # (image, c-tile) sweep)
+    stale = jnp.logical_or(
+        rbi == 0, src != src_ref[b * n_blocks + jnp.maximum(rbi - 1, 0)]
+    )
+
+    @pl.when(stale)
     def _():
         cp = pltpu.make_async_copy(
-            feat_hbm.at[pl.ds(b, 1), :, :, pl.ds(c0, c_tile)], full_buf, sem
+            feat_hbm.at[pl.ds(src, 1), :, :, pl.ds(c0, c_tile)], full_buf, sem
         )
         cp.start()
         cp.wait()
@@ -378,13 +416,12 @@ def _fused_pool_kernel(
             rx1_o, rw_o, hlo_o, hhi_o, we_o = _region_meta(
                 xo1, yo1, xo2, yo2, spatial_scale, p, h_lim, w_lim
             )
-            wlo_r, whi_r = we_r()
-            wlo_o, whi_o = we_o()
 
             def compute_loop(x0, w_sl):
                 wd = w_sl or w_dma
                 init = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
-                col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                dt = full_buf.dtype
+                jc = 16  # win96: bin width <= ceil(89/7)+1 = 14
 
                 # walk 1: ROI rows -> band_a (all), band_b (outside inner)
                 band_a[:, :wd] = init
@@ -393,11 +430,31 @@ def _fused_pool_kernel(
                     full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
                     row_cond=lambda h: jnp.logical_or(h <= iya, h >= iyb),
                 )
-                pooled_roi = _band_max(band_a, wd, col, wlo_r, whi_r, p)
-                f1 = _band_max(
-                    band_a, wd, col, wlo_r, whi_r, p, hole_x=(ixa, ixb)
-                )
-                f2 = _band_max(band_b, wd, col, wlo_r, whi_r, p)
+                if w_sl is not None:
+                    # MXU stage B: ONE candidate-gather dot set per band,
+                    # shared across the region variants (hole masks apply at
+                    # the j-group reduce, not in the dot)
+                    va, valid_r, tabs_r = _onehot_candidates(
+                        band_a, wd, x0, rx1_r, rw_r, w_lim, p, jc, c_tile, dt
+                    )
+                    vb, _, _ = _onehot_candidates(
+                        band_b, wd, x0, rx1_r, rw_r, w_lim, p, jc, c_tile, dt
+                    )
+                    hole_f = jnp.logical_and(
+                        valid_r,
+                        jnp.logical_or(tabs_r <= ixa, tabs_r >= ixb),
+                    )
+                    pooled_roi = _jgroup_max(va, valid_r, p, jc, c_tile)
+                    f1 = _jgroup_max(va, hole_f, p, jc, c_tile)
+                    f2 = _jgroup_max(vb, valid_r, p, jc, c_tile)
+                else:
+                    wlo_r, whi_r = we_r()
+                    col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                    pooled_roi = _band_max(band_a, wd, col, wlo_r, whi_r, p)
+                    f1 = _band_max(
+                        band_a, wd, col, wlo_r, whi_r, p, hole_x=(ixa, ixb)
+                    )
+                    f2 = _band_max(band_b, wd, col, wlo_r, whi_r, p)
                 # maxval starts at 0 in the reference kernel (inputs >= 0)
                 roi_v = jnp.maximum(pooled_roi.astype(jnp.float32), 0.0)
                 frame_v = jnp.maximum(
@@ -411,10 +468,26 @@ def _fused_pool_kernel(
                     full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
                     row_cond=lambda h: jnp.logical_or(h <= rya, h >= ryb),
                 )
-                c1 = _band_max(
-                    band_a, wd, col, wlo_o, whi_o, p, hole_x=(rxa, rxb)
-                )
-                c2 = _band_max(band_b, wd, col, wlo_o, whi_o, p)
+                if w_sl is not None:
+                    va, valid_o, tabs_o = _onehot_candidates(
+                        band_a, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
+                    )
+                    vb, _, _ = _onehot_candidates(
+                        band_b, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
+                    )
+                    hole_c = jnp.logical_and(
+                        valid_o,
+                        jnp.logical_or(tabs_o <= rxa, tabs_o >= rxb),
+                    )
+                    c1 = _jgroup_max(va, hole_c, p, jc, c_tile)
+                    c2 = _jgroup_max(vb, valid_o, p, jc, c_tile)
+                else:
+                    wlo_o, whi_o = we_o()
+                    col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                    c1 = _band_max(
+                        band_a, wd, col, wlo_o, whi_o, p, hole_x=(rxa, rxb)
+                    )
+                    c2 = _band_max(band_b, wd, col, wlo_o, whi_o, p)
                 ctx_v = jnp.maximum(jnp.maximum(c1, c2).astype(jnp.float32), 0.0)
 
                 _write_out(
@@ -423,7 +496,10 @@ def _fused_pool_kernel(
                 )
 
             if narrow_enabled:
-                narrow = rw_o <= win - 7
+                # rw_r is the UNCLIPPED ROI width: an ROI mostly outside the
+                # image can have rw_r >> rw_o, overflowing the j_cap=16
+                # candidate budget of the MXU stage B -> force it wide
+                narrow = jnp.logical_and(rw_o <= win - 7, rw_r <= 7 * 15)
                 x0 = jnp.clip(rx1_o, 0, w_dma - win)
                 x0 = pl.multiple_of((x0 // 8) * 8, 8)
 
@@ -446,7 +522,7 @@ def _fused_pool_kernel(
     ),
 )
 def roi_pool_fused_batched(
-    feat: jnp.ndarray,  # [B, H, W, C]
+    feat: jnp.ndarray,  # [B or n_br*B, H, W, C] (branch-major concat w/ src_tbl)
     rois: jnp.ndarray,  # [B, N, 4] image-coord XYXY
     gate: jnp.ndarray,  # [B, N] per-ROI output scale ((obj+1)*valid; pads 0)
     c_base=0,  # dynamic scalar: first channel of this chunk
@@ -458,6 +534,7 @@ def roi_pool_fused_batched(
     loop_pool: bool = False,
     context_ratio: float = 1.8,
     quant: str = "none",
+    src_tbl: jnp.ndarray | None = None,  # [B, N//roi_block] int32
     interpret: bool = False,
 ):
     """Max-pool ``feat[..., c_base:c_base+c_take]`` for every ROI of every
@@ -467,8 +544,15 @@ def roi_pool_fused_batched(
     already scaled by ``gate``; or (``quant='int8'``) a tuple of the int8
     payload (same shape) and per-(ROI, c-tile) scales
     ``[(3,) B, n_ct, N]`` f32 with the gate folded in.
+
+    ``src_tbl`` (MRRP branch routing) gives each 8-ROI block's feature
+    dim-0 source (``branch * B + image`` for the reference's branch-major
+    concat layout, reference ``wsovod/modeling/poolers.py:111-116``); the
+    caller must hand branch-pure blocks (ROIs sorted by branch, segments
+    padded to the block size) and ``N`` must be block-aligned.
     """
-    b, h, w, c = feat.shape
+    b = rois.shape[0]
+    h, w, c = feat.shape[1:]
     n = rois.shape[1]
     p = output_size
     c_take = c if c_take is None else c_take
@@ -480,6 +564,10 @@ def roi_pool_fused_batched(
     smem_budget = 960 * 1024
     n_pad_est = n + (-n) % roi_block
     if b * n_pad_est * 5 * 4 > smem_budget:
+        assert src_tbl is None, (
+            "branch-routed pooling with an SMEM-oversized ROI table: split "
+            "the batch before building the block source table"
+        )
         g = b
         while g > 1 and (g * n_pad_est * 5 * 4 > smem_budget or b % g != 0):
             g -= 1
@@ -525,6 +613,14 @@ def roi_pool_fused_batched(
     gate_p = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, pad)))
     rois5 = jnp.concatenate([rois_p, gate_p[..., None]], axis=-1).reshape(-1)
     cbase = jnp.asarray([c_base], jnp.int32)
+    if src_tbl is None:
+        src_flat = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], (b, n_pad // roi_block)
+        ).reshape(-1)
+    else:
+        assert pad == 0, "src_tbl requires block-aligned N"
+        assert src_tbl.shape == (b, n_pad // roi_block), src_tbl.shape
+        src_flat = src_tbl.astype(jnp.int32).reshape(-1)
 
     tri = (3,) if loop_pool else ()
     out_dtype = jnp.int8 if quant == "int8" else feat.dtype
@@ -565,7 +661,7 @@ def roi_pool_fused_batched(
     scratch = [s for s in scratch if s is not None]
     scratch.append(pltpu.SemaphoreType.DMA)
 
-    def kernel_entry(rois_s, cbase_s, feat_ref, *rest):
+    def kernel_entry(rois_s, cbase_s, src_s, feat_ref, *rest):
         if quant == "int8":
             out_r, scale_r = rest[0], rest[1]
             rest = rest[2:]
@@ -578,7 +674,8 @@ def roi_pool_fused_batched(
             full, ba, sem_ = rest
             bb = None
         _fused_pool_kernel(
-            rois_s, cbase_s, feat_ref, out_r, scale_r, full, ba, bb, sem_,
+            rois_s, cbase_s, src_s, feat_ref, out_r, scale_r, full, ba, bb,
+            sem_,
             p=p, spatial_scale=spatial_scale, roi_block=roi_block,
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
@@ -586,7 +683,7 @@ def roi_pool_fused_batched(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, n_ct, n_pad // roi_block),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs if quant == "int8" else out_specs[0],
@@ -597,7 +694,7 @@ def roi_pool_fused_batched(
         grid_spec=grid_spec,
         out_shape=out_shapes if quant == "int8" else out_shapes[0],
         interpret=interpret or _INTERPRET,
-    )(rois5, cbase, feat)
+    )(rois5, cbase, src_flat, feat)
     if quant == "int8":
         vals, scales = out
         return vals[..., :n, :], scales[..., :n]
@@ -677,3 +774,104 @@ def _pool_ad_bwd(c_base, c_take, output_size, spatial_scale, loop_pool, context_
 
 
 roi_pool_fused_ad.defvjp(_pool_ad_fwd, _pool_ad_bwd)
+
+
+def _branch_src_tbl(branch, b, roi_block):
+    """[B, N'] per-ROI branch (branch-pure blocks) -> per-block DMA source
+    ``branch * B + image`` for the branch-major concat feature layout."""
+    blocks = branch[:, ::roi_block].astype(jnp.int32)
+    return blocks * b + jnp.arange(b, dtype=jnp.int32)[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def roi_pool_fused_branched_ad(
+    feat,  # [n_br*B, H, W, C] branch-major concat (reference MRRP layout)
+    rois,  # [B, N'] branch-sorted, segment-padded (blocks branch-pure)
+    gate,  # [B, N'] (exactly 0 on segment pads)
+    branch_f,  # [B, N'] per-ROI branch id as FLOAT (int primals would need
+    #            float0 cotangents; the value is exact in f32)
+    c_base: int = 0,
+    c_take: int | None = None,
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+    loop_pool: bool = False,
+    context_ratio: float = 1.8,
+):
+    """Differentiable fused max pool + gate with MRRP branch routing: each
+    branch-pure 8-ROI block DMAs its resident tile from the branch's feature
+    copy. Backward mirrors ``roi_pool_fused_ad`` via the jnp reference pool
+    with per-ROI branch selection (DCE'd under a frozen backbone)."""
+    branch = branch_f.astype(jnp.int32)
+    src = _branch_src_tbl(branch, rois.shape[0], 8)
+    return roi_pool_fused_batched(
+        feat, rois, gate, c_base=c_base, c_take=c_take,
+        output_size=output_size, spatial_scale=spatial_scale,
+        loop_pool=loop_pool, context_ratio=context_ratio, src_tbl=src,
+    )
+
+
+def _pool_branched_fwd(
+    feat, rois, gate, branch_f, c_base, c_take, output_size, spatial_scale,
+    loop_pool, context_ratio,
+):
+    out = roi_pool_fused_branched_ad(
+        feat, rois, gate, branch_f, c_base, c_take, output_size,
+        spatial_scale, loop_pool, context_ratio,
+    )
+    return out, (feat, rois, gate, branch_f, out)
+
+
+def _pool_branched_bwd(
+    c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio,
+    res, g,
+):
+    from ..roi_pool import roi_loop_pool, roi_pool
+
+    feat, rois, gate, branch_f, out = res
+    b = rois.shape[0]
+    n_br = feat.shape[0] // b
+    branch = branch_f.astype(jnp.int32)
+    c_take = feat.shape[-1] if c_take is None else c_take
+    perm = (0, 1, 4, 2, 3, 5) if loop_pool else (0, 3, 1, 2, 4)
+    g_n = jnp.transpose(g, perm).astype(jnp.float32)
+    out_n = jnp.transpose(out, perm).astype(jnp.float32)
+
+    sum_axes = tuple(range(g_n.ndim - 3, g_n.ndim)) + ((0,) if loop_pool else ())
+    safe = jnp.where(jnp.abs(gate) > 1e-8, gate, 1.0)
+    g_gate = jnp.where(
+        jnp.abs(gate) > 1e-8,
+        jnp.sum(g_n * out_n, axis=sum_axes) / safe,
+        0.0,
+    ).astype(gate.dtype)
+
+    def pool_fn(f):
+        fs = jax.lax.slice_in_dim(f, c_base, c_base + c_take, axis=-1)
+        per_img = []
+        for bi in range(b):
+            def one_branch(br):
+                if loop_pool:
+                    return roi_loop_pool(
+                        fs[br * b + bi], rois[bi], output_size, spatial_scale,
+                        context_ratio=context_ratio,
+                    )  # [3, N, P, P, CT]
+                return roi_pool(
+                    fs[br * b + bi], rois[bi], output_size, spatial_scale
+                )
+
+            pooled_all = jnp.stack([one_branch(br) for br in range(n_br)])
+            sel = branch[bi]
+            if loop_pool:
+                sel = sel[None, None, :, None, None, None]
+            else:
+                sel = sel[None, :, None, None, None]
+            per_img.append(jnp.take_along_axis(pooled_all, sel, axis=0)[0])
+        stacked = jnp.stack(per_img, axis=1 if loop_pool else 0)
+        gx = gate[:, :, None, None, None].astype(stacked.dtype)
+        return stacked * (gx[None] if loop_pool else gx)
+
+    _, vjp = jax.vjp(pool_fn, feat)
+    (g_feat,) = vjp(g_n.astype(feat.dtype))
+    return g_feat, None, g_gate, jnp.zeros_like(branch_f)
+
+
+roi_pool_fused_branched_ad.defvjp(_pool_branched_fwd, _pool_branched_bwd)
