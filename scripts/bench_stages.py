@@ -32,7 +32,9 @@ def main():
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
     cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 2048
     cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1024
-    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE = os.environ.get(
+        "BENCH_POOLER", "ROIPool"  # the shipped flagship pooler
+    )
     cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
     cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.DATA_AWARE = True
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_NUM = 1
