@@ -48,6 +48,9 @@ def main():
     cfg.WSOVOD.INSTANCE_REFINEMENT.REFINE_REG = [True]
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.DAN_FC1_QUANT = os.environ.get("BENCH_FC1_QUANT", cfg.TPU.DAN_FC1_QUANT)
+    cfg.TPU.RPN_CONV_QUANT = os.environ.get(
+        "BENCH_RPN_QUANT", cfg.TPU.RPN_CONV_QUANT
+    )
 
     B = int(os.environ.get("BENCH_BATCH", "8"))  # measured sweet spot (B16 is slower)
     H, W = 688, 1056  # typical COCO val shape at shortest-side-688

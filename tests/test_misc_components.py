@@ -240,3 +240,54 @@ def test_swin_fpn_backbone():
     assert out["p6"].shape == (1, 1, 2, 32)
     strides = bb.output_strides()
     assert strides == {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+
+
+def test_int8_shifted_conv_matches_fp_conv():
+    """conv3x3_shifted_int8 vs the fp conv: small relative error and (the
+    property the RPN actually depends on) near-identical top-k ordering of
+    a linear objectness readout."""
+    from wsovod_tpu.models.layers import QuantizableConv3x3
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 16, 64).astype(np.float32))
+    conv_fp = QuantizableConv3x3(64, quant="none")
+    conv_q = QuantizableConv3x3(64, quant="int8")
+    params = conv_fp.init(jax.random.PRNGKey(0), x)
+    y_fp = np.asarray(jax.nn.relu(conv_fp.apply(params, x)))
+    y_q = np.asarray(jax.nn.relu(conv_q.apply(params, x)))
+
+    # pointwise relative error is meaningless near relu zeros; gauge the
+    # quant noise against the activation scale instead
+    err = np.abs(y_q - y_fp)
+    scale = y_fp.std()
+    assert np.percentile(err, 99) < 0.05 * scale, (
+        np.percentile(err, 99), scale,
+    )
+
+    # objectness-style readout ordering: project to 1 channel, compare top-64
+    w = rng.randn(64).astype(np.float32)
+    obj_fp = (y_fp @ w).reshape(2, -1)
+    obj_q = (y_q @ w).reshape(2, -1)
+    for b in range(2):
+        top_fp = set(np.argsort(-obj_fp[b])[:64].tolist())
+        top_q = set(np.argsort(-obj_q[b])[:64].tolist())
+        assert len(top_fp & top_q) >= 58, len(top_fp & top_q)
+
+
+def test_quantizable_conv_param_tree_matches_nn_conv():
+    """QuantizableConv3x3's param tree is checkpoint-compatible with the
+    nn.Conv it replaces in StandardRPNHead."""
+    import flax.linen as nn
+
+    from wsovod_tpu.models.layers import QuantizableConv3x3
+
+    x = jnp.zeros((1, 8, 8, 16), jnp.float32)
+    ref = nn.Conv(16, (3, 3), padding="SAME").init(jax.random.PRNGKey(0), x)
+    got = QuantizableConv3x3(16).init(jax.random.PRNGKey(0), x)
+    ref_shapes = jax.tree.map(jnp.shape, ref)
+    got_shapes = jax.tree.map(jnp.shape, got)
+    assert ref_shapes == got_shapes
+    # fp path computes the same conv
+    y_ref = nn.Conv(16, (3, 3), padding="SAME").apply(ref, x)
+    y_got = QuantizableConv3x3(16).apply(ref, x)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_got), atol=1e-6)

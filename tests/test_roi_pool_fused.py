@@ -563,3 +563,16 @@ def test_chunked_dan_thunk_remat_grads(monkeypatch):
         )
     finally:
         rpf._INTERPRET = False
+
+
+def test_fused_pool_meta_multi_ctile():
+    """Multi-c-tile runs replay the prefetched packed region meta per tile:
+    results must match the single-tile run exactly."""
+    feat, rois, gate = _mk(13, c=256)
+    one = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, interpret=True
+    )
+    two = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, c_tile=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(two))

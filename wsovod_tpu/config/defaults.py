@@ -313,6 +313,10 @@ def get_cfg() -> CN:
     # unfused pool->DAN ROI chunk size (memory bound: the pooled tensor only
     # ever materializes per chunk; MRRP triples it and may need 256)
     _C.TPU.UNFUSED_ROI_CHUNK = 512
+    # "int8": RPN head 3x3 conv as 9 shifted int8 GEMMs at inference (XLA's
+    # int8 conv lowers at the bf16 rate on v5e; int8 dot_general hits ~1.9x).
+    # Default off until the objectness-ordering guard validates it on-chip.
+    _C.TPU.RPN_CONV_QUANT = "none"
 
     return _C
 

@@ -41,18 +41,20 @@ from ..structures.boxes import (
 from ..structures.instances import Instances
 from .anchors import AnchorGenerator
 from .class_heads import l2_normalize
+from .layers import QuantizableConv3x3
 from .proposal_utils import find_top_rpn_proposals, find_top_rpn_proposals_group
 
 
 class StandardRPNHead(nn.Module):
     num_anchors: int
     box_dim: int = 4
+    conv_quant: str = "none"  # "int8": shifted-GEMM conv (inference only)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
         """Per-level NHWC features -> (logits [B,H,W,A], deltas [B,H,W,A*4])."""
-        conv = nn.Conv(
-            features[0].shape[-1], (3, 3), padding="SAME",
+        conv = QuantizableConv3x3(
+            features[0].shape[-1], quant=self.conv_quant,
             kernel_init=nn.initializers.normal(0.01), name="conv",
         )
         cls = nn.Conv(
@@ -132,6 +134,7 @@ class WSOVODRPN_V2(nn.Module):
     mrrp_on: bool = False
     mrrp_num_branch: int = 3
     mrrp_fast: bool = True
+    conv_quant: str = "none"  # TPU.RPN_CONV_QUANT: int8 head conv at inference
 
     def _anchor_generator(self) -> AnchorGenerator:
         n_lvl = len(self.in_features) * (self.mrrp_num_branch if self.mrrp_on else 1)
@@ -162,7 +165,12 @@ class WSOVODRPN_V2(nn.Module):
 
         gen = self._anchor_generator()
         a_per_loc = gen.num_anchors[0]
-        head = StandardRPNHead(num_anchors=a_per_loc, name="rpn_head")
+        head = StandardRPNHead(
+            num_anchors=a_per_loc,
+            # quantized conv is inference-only (train keeps exact gradients)
+            conv_quant="none" if train else self.conv_quant,
+            name="rpn_head",
+        )
         logits_l, deltas_l = head(feats)
 
         grid_sizes = [(f.shape[1], f.shape[2]) for f in feats]
@@ -338,6 +346,7 @@ def build_proposal_generator(cfg, strides: Sequence[int]) -> WSOVODRPN_V2:
         mrrp_on=cfg.MODEL.MRRP.MRRP_ON,
         mrrp_num_branch=cfg.MODEL.MRRP.NUM_BRANCH,
         mrrp_fast=cfg.MODEL.MRRP.TEST_BRANCH_IDX != -1,
+        conv_quant=cfg.TPU.RPN_CONV_QUANT,
     )
 
 

@@ -35,10 +35,14 @@ Max is exact in the feature dtype (the result is always one of the inputs),
 so stage buffers stay in ``feat.dtype`` — bf16 halves the VPU traffic with
 zero numeric change vs an f32 walk over the same bf16 features.
 
-Per-ROI structure: integer bin edges are computed as scalars (SMEM ROI
-coords -> scalar core); stage A walks each output row's feature rows once
-(dynamic-trip ``fori``) folding them into a band ``[P, win, CT]``; stage B is
-a vectorized masked max over the band per output column. Narrow ROIs use an
+Per-ROI structure: plain-pool integer bin edges are precomputed VECTORIZED
+in XLA and prefetched as packed int16 pairs (``_pack_region_meta``) — the
+kernel's scalar core only loads + shift-unpacks them (the in-kernel float
+math it replaces serialized ~33 ms across the bench sweep); ROILoopPool's
+richer two-region geometry is still computed as scalars from the SMEM ROI
+coords. Stage A walks each output row's feature rows once (dynamic-trip
+``fori``) folding them into a band ``[P, win, CT]``; stage B is a
+vectorized masked max over the band per output column. Narrow ROIs use an
 8-aligned 64-wide x-window slice of the resident tile; wide ones the full
 row (the split is decided in-kernel, an exact partition).
 """
@@ -88,16 +92,70 @@ def _region_meta(x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim):
     rh = jnp.maximum(ry2 - ry1 + 1, 1)
     hlo = [jnp.clip((ph * rh) // p + ry1, 0, h_lim) for ph in range(p)]
     hhi = [jnp.clip(-((-(ph + 1) * rh) // p) + ry1, 0, h_lim) for ph in range(p)]
+    return rx1, rw, hlo, hhi, functools.partial(_w_edges, rx1, rw, p, w_lim)
 
-    def w_edges():
-        wlo = [jnp.clip((pw * rw) // p + rx1, 0, w_lim) for pw in range(p)]
-        whi = [
-            jnp.clip(-((-(pw + 1) * rw) // p) + rx1, 0, w_lim)
-            for pw in range(p)
-        ]
-        return wlo, whi
 
-    return rx1, rw, hlo, hhi, w_edges
+def _w_edges(rx1, rw, p, w_lim):
+    wlo = [jnp.clip((pw * rw) // p + rx1, 0, w_lim) for pw in range(p)]
+    whi = [
+        jnp.clip(-((-(pw + 1) * rw) // p) + rx1, 0, w_lim) for pw in range(p)
+    ]
+    return wlo, whi
+
+
+def _meta_words(p: int) -> int:
+    """int32 word count of the packed per-ROI region meta (int16 pairs)."""
+    return (2 + 2 * p + 1) // 2
+
+
+def _pack_region_meta(rois, spatial_scale, p, h_lim):
+    """XLA-side (vectorized) plain-pool region metadata, packed into int16
+    pairs for SMEM scalar prefetch: ``[..., W]`` int32 with value order
+    ``rx1, rw, hlo[0..p), hhi[0..p)`` (zero-padded to an even count).
+
+    The per-ROI scalar-core float math this replaces (4 round-to-ints + 2p
+    clipped floor-div edges, ~90 serialized ops) measured ~33 ms across the
+    B8 x 5024 x 2048ch bench sweep; here it's ~20 elementwise ops on a
+    [B, N] array, fused into the ROI-table prep. Values are clipped to int16
+    range — only boxes thousands of px outside the feature map would hit the
+    clip, and their h/w edges clamp to empty bins either way."""
+    x1, y1, x2, y2 = (rois[..., i] for i in range(4))
+
+    def rnd(v):
+        return jnp.floor(v * spatial_scale + 0.5).astype(jnp.int32)
+
+    rx1, ry1, rx2, ry2 = rnd(x1), rnd(y1), rnd(x2), rnd(y2)
+    rw = jnp.maximum(rx2 - rx1 + 1, 1)
+    rh = jnp.maximum(ry2 - ry1 + 1, 1)
+    vals = [rx1, rw]
+    vals += [jnp.clip((ph * rh) // p + ry1, 0, h_lim) for ph in range(p)]
+    vals += [
+        jnp.clip(-((-(ph + 1) * rh) // p) + ry1, 0, h_lim) for ph in range(p)
+    ]
+    if len(vals) % 2:
+        vals.append(jnp.zeros_like(rx1))
+    words = [
+        (jnp.clip(a, -32768, 32767) & 0xFFFF)
+        | (jnp.clip(b, -32768, 32767) << 16)
+        for a, b in zip(vals[0::2], vals[1::2])
+    ]
+    return jnp.stack(words, axis=-1)
+
+
+def _unpack_region_meta(meta_ref, base, p, w_lim):
+    """Kernel-side unpack of ``_pack_region_meta``'s words for one ROI:
+    2 scalar SMEM loads + 2 shifts per value pair instead of the serialized
+    float math of ``_region_meta``."""
+    nw = _meta_words(p)
+    words = [meta_ref[base + k] for k in range(nw)]
+    vals = []
+    for w_ in words:
+        vals.append((w_ << 16) >> 16)  # arithmetic shift: sign-extends
+        vals.append(w_ >> 16)
+    rx1, rw = vals[0], vals[1]
+    hlo = vals[2 : 2 + p]
+    hhi = vals[2 + p : 2 + 2 * p]
+    return rx1, rw, hlo, hhi, functools.partial(_w_edges, rx1, rw, p, w_lim)
 
 
 def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile):
@@ -276,7 +334,9 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
 
 
 def _fused_pool_kernel(
-    rois_ref,  # [B*N_pad*5] SMEM: x1,y1,x2,y2,gate per ROI
+    rois_ref,  # loop pool: [B*N_pad*5] SMEM x1,y1,x2,y2,gate per ROI;
+    #            plain pool: [B*N_pad*W] packed region meta (_pack_region_meta)
+    gate_ref,  # plain pool: [B*N_pad] f32 SMEM per-ROI gate; loop pool: None
     cbase_ref,  # [1] SMEM channel base of this chunk
     src_ref,  # [B*(N_pad//RB)] SMEM per-block feat dim-0 DMA source (MRRP
     #           branch routing: blocks are branch-pure, table = br*B + b;
@@ -329,15 +389,14 @@ def _fused_pool_kernel(
 
     for i in range(roi_block):
         r = b * n_pad + rbi * roi_block + i
-        x1 = rois_ref[r * 5 + 0]
-        y1 = rois_ref[r * 5 + 1]
-        x2 = rois_ref[r * 5 + 2]
-        y2 = rois_ref[r * 5 + 3]
-        gate = rois_ref[r * 5 + 4]
 
         if not loop_pool:
-            rx1, rw, hlo, hhi, w_edges = _region_meta(
-                x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
+            # region metadata precomputed vectorized in XLA
+            # (_pack_region_meta) and prefetched: the kernel's per-ROI scalar
+            # work drops to W SMEM loads + 2W shifts per c-tile
+            gate = gate_ref[r]
+            rx1, rw, hlo, hhi, w_edges = _unpack_region_meta(
+                rois_ref, r * _meta_words(p), p, w_lim
             )
 
             def compute(x0, w_sl, hlo=hlo, hhi=hhi):
@@ -386,6 +445,11 @@ def _fused_pool_kernel(
                 compute(jnp.int32(0), None)
         else:
             # ---- ROILoopPool: ROI / frame / context ------------------------
+            x1 = rois_ref[r * 5 + 0]
+            y1 = rois_ref[r * 5 + 1]
+            x2 = rois_ref[r * 5 + 2]
+            y2 = rois_ref[r * 5 + 3]
+            gate = rois_ref[r * 5 + 4]
             img_h = h_lim / spatial_scale
             img_w = w_lim / spatial_scale
             rw_f = x2 - x1
@@ -563,13 +627,18 @@ def roi_pool_fused_batched(
 
     smem_budget = 960 * 1024
     n_pad_est = n + (-n) % roi_block
-    if b * n_pad_est * 5 * 4 > smem_budget:
+    # loop pool: f32 rois5 table (20 B/ROI); plain pool: packed meta words +
+    # f32 gate table
+    roi_bytes = 5 * 4 if loop_pool else (_meta_words(p) + 1) * 4
+    if b * n_pad_est * roi_bytes > smem_budget:
         assert src_tbl is None, (
             "branch-routed pooling with an SMEM-oversized ROI table: split "
             "the batch before building the block source table"
         )
         g = b
-        while g > 1 and (g * n_pad_est * 5 * 4 > smem_budget or b % g != 0):
+        while g > 1 and (
+            g * n_pad_est * roi_bytes > smem_budget or b % g != 0
+        ):
             g -= 1
         parts = [
             roi_pool_fused_batched(
@@ -611,7 +680,14 @@ def roi_pool_fused_batched(
     n_pad = n + pad
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
     gate_p = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, pad)))
-    rois5 = jnp.concatenate([rois_p, gate_p[..., None]], axis=-1).reshape(-1)
+    if loop_pool:
+        roi_tbl = jnp.concatenate(
+            [rois_p, gate_p[..., None]], axis=-1
+        ).reshape(-1)
+        gate_tbl = None
+    else:
+        roi_tbl = _pack_region_meta(rois_p, spatial_scale, p, h).reshape(-1)
+        gate_tbl = gate_p.reshape(-1)
     cbase = jnp.asarray([c_base], jnp.int32)
     if src_tbl is None:
         src_flat = jnp.broadcast_to(
@@ -661,7 +737,16 @@ def roi_pool_fused_batched(
     scratch = [s for s in scratch if s is not None]
     scratch.append(pltpu.SemaphoreType.DMA)
 
-    def kernel_entry(rois_s, cbase_s, src_s, feat_ref, *rest):
+    def kernel_entry(*args):
+        if loop_pool:
+            rois_s, cbase_s, src_s = args[:3]
+            gate_s = None
+            rest = args[3:]
+        else:
+            rois_s, gate_s, cbase_s, src_s = args[:4]
+            rest = args[4:]
+        feat_ref = rest[0]
+        rest = rest[1:]
         if quant == "int8":
             out_r, scale_r = rest[0], rest[1]
             rest = rest[2:]
@@ -674,16 +759,21 @@ def roi_pool_fused_batched(
             full, ba, sem_ = rest
             bb = None
         _fused_pool_kernel(
-            rois_s, cbase_s, src_s, feat_ref, out_r, scale_r, full, ba, bb,
-            sem_,
+            rois_s, gate_s, cbase_s, src_s, feat_ref, out_r, scale_r, full,
+            ba, bb, sem_,
             p=p, spatial_scale=spatial_scale, roi_block=roi_block,
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
             context_ratio=context_ratio, quant=quant,
         )
 
+    scal_args = (
+        (roi_tbl, cbase, src_flat)
+        if loop_pool
+        else (roi_tbl, gate_tbl, cbase, src_flat)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scal_args),
         grid=(b, n_ct, n_pad // roi_block),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=out_specs if quant == "int8" else out_specs[0],
@@ -694,7 +784,7 @@ def roi_pool_fused_batched(
         grid_spec=grid_spec,
         out_shape=out_shapes if quant == "int8" else out_shapes[0],
         interpret=interpret or _INTERPRET,
-    )(rois5, cbase, src_flat, feat)
+    )(*scal_args, feat)
     if quant == "int8":
         vals, scales = out
         return vals[..., :n, :], scales[..., :n]
