@@ -576,3 +576,45 @@ def test_fused_pool_meta_multi_ctile():
         feat, rois, gate, spatial_scale=0.25, c_tile=128, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+
+@pytest.mark.parametrize("loop", [False, True])
+def test_fused_pool_maxabs_emission(loop):
+    """quant='maxabs': payload identical to the plain gated output; reduced
+    partials bit-equal to an XLA maxabs over that payload."""
+    feat, rois, gate = _mk(17, c=256)
+    kw = dict(spatial_scale=0.25, loop_pool=loop, interpret=True)
+    plain = rpf.roi_pool_fused_batched(feat, rois, gate, **kw)
+    payload, pm = rpf.roi_pool_fused_batched(
+        feat, rois, gate, quant="maxabs", **kw
+    )
+    np.testing.assert_array_equal(np.asarray(payload), np.asarray(plain))
+    # reduce the per-lane partials over (n_ct, lanes) -> per-ROI maxabs
+    got = np.asarray(jnp.max(pm, axis=(-3, -1)))
+    red = (2, 3, 5) if loop else (1, 2, 4)
+    want = np.asarray(
+        jnp.max(jnp.abs(jnp.asarray(plain).astype(jnp.float32)), axis=red)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_dense_precomputed_maxabs_matches_int8():
+    """ChunkedDenseGeneral with (payload, maxabs) tuples reproduces the
+    self-quantizing int8 path bit-exactly."""
+    from wsovod_tpu.models.box_head import ChunkedDenseGeneral
+
+    rng = np.random.RandomState(3)
+    b, n, p, c = 2, 6, 7, 256
+    x = jnp.asarray(rng.randn(b, p, p, n, c).astype(np.float32))
+    chunks = [x[..., :128], x[..., 128:]]
+    mod = ChunkedDenseGeneral(
+        32, in_shape=(p, p, c), chunk_layout="hwnc", quant="int8"
+    )
+    params = mod.init(jax.random.PRNGKey(0), chunks)
+    y_self = mod.apply(params, chunks)
+    tup = [
+        (ch, jnp.max(jnp.abs(ch.astype(jnp.float32)), axis=(1, 2, 4)))
+        for ch in chunks
+    ]
+    y_pre = mod.apply(params, tup)
+    np.testing.assert_array_equal(np.asarray(y_self), np.asarray(y_pre))

@@ -87,14 +87,14 @@ class ChunkedDenseGeneral(nn.Module):
             x = item[0] if pre_q else item
             ci = x.shape[-1]
             k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
-            if pre_q:
+            if pre_q and x.dtype == jnp.int8:
                 # fused-kernel int8 payload + scale (gate folded into scale)
                 assert hwnc, "pre-quantized chunks are hwnc-layout only"
                 s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8) / 127.0
                 k_q = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
                 y = jnp.einsum(eq, x, k_q, preferred_element_type=jnp.int32)
                 y = y.astype(jnp.float32) * item[1][..., None] * s_w
-            elif self.quant == "int8":
+            elif self.quant == "int8" or pre_q:
                 # per-ROI activation scale: reduce over (h, w, c), keep
                 # leading [(3,) B] and the N axis
                 red = (
@@ -102,7 +102,16 @@ class ChunkedDenseGeneral(nn.Module):
                     if hwnc
                     else tuple(range(x.ndim - 3, x.ndim))
                 )
-                ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=red, keepdims=True)
+                if pre_q:
+                    # (float payload, per-ROI maxabs) from the pool kernels'
+                    # quant='maxabs' emission: the full-chunk maxabs reduce
+                    # pass disappears — this pass reads the chunk ONCE
+                    assert hwnc, "maxabs chunks are hwnc-layout only"
+                    ax = jnp.expand_dims(item[1], red)
+                else:
+                    ax = jnp.max(
+                        jnp.abs(x.astype(jnp.float32)), axis=red, keepdims=True
+                    )
                 s_a = jnp.maximum(ax, 1e-8) / 127.0
                 x_q = jnp.clip(
                     jnp.round(x.astype(jnp.float32) / s_a), -127, 127

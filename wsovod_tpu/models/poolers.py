@@ -192,13 +192,16 @@ class ROIPooler:
         DAN output back to proposal order (unsorting the [B, P, F] fc
         output costs ~1 ms; unsorting the pooled tensor would cost ~100x).
 
-        Chunks are always bf16/f32: with ``TPU.DAN_FC1_QUANT='int8'`` the
-        DAN's ``ChunkedDenseGeneral`` quantizes them in one fused XLA pass
-        per chunk. The kernels' fused int8 emission (``quant='int8'``) is
-        deliberately NOT used here — its per-region maxabs reduce +
-        scalar-broadcast epilogue serializes the VPU and measured ~50 ms
-        SLOWER end-to-end than bf16 emission + XLA quantize at the COCO
-        bench shape (v5e, see scripts/bench_maxpool_kernel.py extq)."""
+        Chunks are bf16/f32; with ``TPU.DAN_FC1_QUANT='int8'`` at inference
+        the ROIPool/ROILoopPool kernels emit ``(chunk, per-ROI maxabs)``
+        pairs (``quant='maxabs'``: cheap per-lane partials, reduced here) so
+        the DAN's XLA quantize pass reads each chunk once instead of
+        maxabs-reduce + re-read. The kernels' FULL int8 emission
+        (``quant='int8'``) is deliberately NOT used — its per-region
+        cross-lane maxabs reduce + scalar-broadcast epilogue serializes the
+        VPU and measured ~50 ms SLOWER end-to-end than bf16 emission + XLA
+        quantize at the COCO bench shape (v5e, see
+        scripts/bench_maxpool_kernel.py extq)."""
         none = (None, None)
         if self.roi_align_kernel != "fused" or len(features) != 1:
             return none
@@ -252,11 +255,20 @@ class ROIPooler:
             return emit(mk_align, boxes.shape[1], False), None
 
         from ..ops.pallas.roi_pool_fused import (
+            _branch_src_tbl,
             roi_pool_fused_ad,
+            roi_pool_fused_batched,
             roi_pool_fused_branched_ad,
         )
 
         loop = self.pooler_type == "ROILoopPool"
+        # inference + int8 fc1: emit (chunk, per-ROI maxabs) pairs
+        use_maxabs = (not train) and self.fc1_quant == "int8"
+
+        def reduce_pm(chunk, pm):
+            # [(3,) B, n_ct, N, CT] partials -> [(3,) B, N] per-chunk maxabs
+            return chunk, jnp.max(pm, axis=(-3, -1))
+
         if mrrp:
             n_br = feat.shape[0] // b
             branch = (
@@ -270,6 +282,14 @@ class ROIPooler:
             branch_f = branch_s.astype(jnp.float32)
 
             def mk_branched(cb):
+                if use_maxabs:
+                    src = _branch_src_tbl(branch_s.astype(jnp.int32), b, 8)
+                    return reduce_pm(*roi_pool_fused_batched(
+                        feat, boxes_s, gate_s, cb, c_take=c_take,
+                        output_size=self.output_size,
+                        spatial_scale=self.scales[0], loop_pool=loop,
+                        context_ratio=1.8, quant="maxabs", src_tbl=src,
+                    ))
                 return roi_pool_fused_branched_ad(
                     feat, boxes_s, gate_s, branch_f, cb, c_take,
                     self.output_size, self.scales[0], loop, 1.8,
@@ -278,6 +298,12 @@ class ROIPooler:
             return emit(mk_branched, boxes_s.shape[1], loop), unsort_idx
 
         def mk_plain(cb):
+            if use_maxabs:
+                return reduce_pm(*roi_pool_fused_batched(
+                    feat, boxes, gate, cb, c_take=c_take,
+                    output_size=self.output_size, spatial_scale=self.scales[0],
+                    loop_pool=loop, context_ratio=1.8, quant="maxabs",
+                ))
             return roi_pool_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,
                 self.scales[0], loop, 1.8,

@@ -299,13 +299,32 @@ def _clipf(v, lim):
 
 
 def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
-    """Epilogue: gate-and-write (bf16) or quantize-and-write (int8).
+    """Epilogue: gate-and-write (bf16), quantize-and-write (int8), or
+    gate-and-write + per-lane maxabs partial row ("maxabs": the downstream
+    XLA int8-quantize pass then reads the chunk ONCE — its separate
+    full-chunk maxabs reduce pass collapses to a [CT]-per-ROI reduce of
+    these partials).
 
     ``regions``: list of [P, P, CT] pooled values (pre-gate). For int8 the
     gate folds into the emitted scale, keeping the payload gate-free.
     ``ri`` is this ROI's index within the full padded N axis (the scales
     block spans all of N_pad — small last dims can't be tiled)."""
     triple = len(regions) > 1
+    if quant == "maxabs":
+        for r, vals in enumerate(regions):
+            gated = (vals.astype(jnp.float32) * gate).astype(out_ref.dtype)
+            # partial from the ROUNDED payload so the precomputed scale is
+            # bit-identical to an XLA maxabs over the emitted chunk
+            part = jnp.max(
+                jnp.max(jnp.abs(gated.astype(jnp.float32)), axis=0), axis=0
+            )  # [CT]
+            if triple:
+                out_ref[r, 0, :, :, i] = gated
+                scale_ref[r, 0, 0, i] = part
+            else:
+                out_ref[0, :, :, i] = gated
+                scale_ref[0, 0, i] = part
+        return
     if quant == "int8":
         for r, vals in enumerate(regions):
             v32 = vals.astype(jnp.float32)
@@ -607,7 +626,10 @@ def roi_pool_fused_batched(
     Returns (bf16/f32 path) ``[(3,) B, P, P, N, c_take]`` in ``feat.dtype``,
     already scaled by ``gate``; or (``quant='int8'``) a tuple of the int8
     payload (same shape) and per-(ROI, c-tile) scales
-    ``[(3,) B, n_ct, N]`` f32 with the gate folded in.
+    ``[(3,) B, n_ct, N]`` f32 with the gate folded in; or
+    (``quant='maxabs'``) a tuple of the gated bf16/f32 payload and per-(ROI,
+    lane) maxabs partials ``[(3,) B, n_ct, N, c_tile]`` f32 (reduce the last
+    axis to get the exact per-(ROI, c-tile) maxabs of the payload).
 
     ``src_tbl`` (MRRP branch routing) gives each 8-ROI block's feature
     dim-0 source (``branch * B + image`` for the reference's branch-major
@@ -651,7 +673,7 @@ def roi_pool_fused_batched(
             for i in range(0, b, g)
         ]
         ax = 1 if loop_pool else 0
-        if quant == "int8":
+        if quant in ("int8", "maxabs"):
             return (
                 jnp.concatenate([x[0] for x in parts], axis=ax),
                 jnp.concatenate([x[1] for x in parts], axis=ax),
@@ -723,6 +745,19 @@ def roi_pool_fused_batched(
         out_shapes.append(
             jax.ShapeDtypeStruct(tri + (b, n_ct, n_pad), jnp.float32)
         )
+    elif quant == "maxabs":
+        # per-(ROI, lane) maxabs partials of the emitted (gated) payload:
+        # the XLA quantize pass finishes the reduce over this small array
+        # instead of re-reading the full chunk
+        out_specs.append(
+            pl.BlockSpec(
+                tri + (1, 1, roi_block, c_tile),
+                lambda bi, ci, rbi, *_: (0,) * nd + (bi, ci, rbi, 0),
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct(tri + (b, n_ct, n_pad, c_tile), jnp.float32)
+        )
 
     # the band must hold the full row for the wide-ROI path; narrow ROIs use
     # its leading [:, :win] slice
@@ -747,7 +782,7 @@ def roi_pool_fused_batched(
             rest = args[4:]
         feat_ref = rest[0]
         rest = rest[1:]
-        if quant == "int8":
+        if quant in ("int8", "maxabs"):
             out_r, scale_r = rest[0], rest[1]
             rest = rest[2:]
         else:
@@ -772,22 +807,26 @@ def roi_pool_fused_batched(
         if loop_pool
         else (roi_tbl, gate_tbl, cbase, src_flat)
     )
+    two_out = quant in ("int8", "maxabs")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scal_args),
         grid=(b, n_ct, n_pad // roi_block),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=out_specs if quant == "int8" else out_specs[0],
+        out_specs=out_specs if two_out else out_specs[0],
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel_entry,
         grid_spec=grid_spec,
-        out_shape=out_shapes if quant == "int8" else out_shapes[0],
+        out_shape=out_shapes if two_out else out_shapes[0],
         interpret=interpret or _INTERPRET,
     )(*scal_args, feat)
     if quant == "int8":
         vals, scales = out
         return vals[..., :n, :], scales[..., :n]
+    if quant == "maxabs":
+        vals, pmax = out
+        return vals[..., :n, :], pmax[..., :n, :]
     return out[..., :n, :]
 
 
