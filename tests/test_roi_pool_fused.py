@@ -277,9 +277,15 @@ def test_model_level_fused_chunk_wiring(pooler_type, monkeypatch):
             [feat], rois, obj, valid, train=False
         )
         assert chunks is not None and len(chunks) >= 1
-        assert unsort_idx is None  # non-MRRP: rows stay in proposal order
         params = dan.init(jax.random.PRNGKey(0), chunks, train=False)
-        got = np.asarray(dan.apply(params, chunks, train=False))
+        got = dan.apply(params, chunks, train=False)
+        if unsort_idx is not None:
+            # width-class-sorted rows (plain pools at inference) -> original
+            idx = unsort_idx[..., None]
+            if pooler.triple:
+                idx = idx[None]
+            got = jnp.take_along_axis(got, idx, axis=-2)
+        got = np.asarray(got)
 
         # unfused reference: jnp pool + external gate + plain DAN
         from wsovod_tpu.ops.roi_pool import roi_align
@@ -618,3 +624,37 @@ def test_chunked_dense_precomputed_maxabs_matches_int8():
     ]
     y_pre = mod.apply(params, tup)
     np.testing.assert_array_equal(np.asarray(y_self), np.asarray(y_pre))
+
+
+@pytest.mark.parametrize("quant", ["none", "maxabs"])
+def test_fused_pool_width_class_sorted(quant):
+    """Class-sorted blocks (per-block static windows via cls_tbl) reproduce
+    the reference pool exactly after unsorting."""
+    from wsovod_tpu.models.poolers import branch_partition
+    from wsovod_tpu.ops.pallas.roi_pool_fused import (
+        POOL_WIN_CLASSES,
+        pool_width_classes,
+    )
+
+    feat, rois, gate = _mk(19, h=18, w=56, c=128)
+    cls = pool_width_classes(rois, 0.25, 56)
+    # all three classes must be present for the test to mean anything
+    assert set(np.unique(np.asarray(cls)[np.asarray(gate) > 0])) == {0, 1, 2}
+    boxes_s, gate_s, key_s, unsort = branch_partition(
+        rois, gate, cls, len(POOL_WIN_CLASSES)
+    )
+    out = rpf.roi_pool_fused_batched(
+        feat, boxes_s, gate_s, spatial_scale=0.25,
+        cls_tbl=key_s[:, ::8], quant=quant, interpret=True,
+    )
+    payload = out[0] if quant == "maxabs" else out
+    got = np.transpose(np.asarray(payload), (0, 3, 1, 2, 4))
+    got = np.take_along_axis(
+        got, np.asarray(unsort)[..., None, None, None], axis=1
+    )
+    want = _ref_plain(feat, rois, gate, 0.25)
+    np.testing.assert_array_equal(got, want)
+    if quant == "maxabs":
+        pm = np.asarray(jnp.max(out[1], axis=(-3, -1)))
+        want_pm = np.abs(np.asarray(payload, np.float32)).max(axis=(1, 2, 4))
+        np.testing.assert_array_equal(pm, want_pm)

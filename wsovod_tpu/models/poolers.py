@@ -255,7 +255,9 @@ class ROIPooler:
             return emit(mk_align, boxes.shape[1], False), None
 
         from ..ops.pallas.roi_pool_fused import (
+            POOL_WIN_CLASSES,
             _branch_src_tbl,
+            pool_width_classes,
             roi_pool_fused_ad,
             roi_pool_fused_batched,
             roi_pool_fused_branched_ad,
@@ -264,10 +266,24 @@ class ROIPooler:
         loop = self.pooler_type == "ROILoopPool"
         # inference + int8 fc1: emit (chunk, per-ROI maxabs) pairs
         use_maxabs = (not train) and self.fc1_quant == "int8"
+        # inference plain pool: sort ROIs into width-class-pure blocks so the
+        # kernel runs each block at its cheapest static window (the sort and
+        # the fc-output unsort are ~1 ms; resorting the pooled tensor would
+        # be ~100x). Training keeps the per-ROI narrow/wide AD path.
+        use_cls = (not train) and not loop
+        ncls = len(POOL_WIN_CLASSES)
+        quant_kw = {"quant": "maxabs"} if use_maxabs else {}
 
-        def reduce_pm(chunk, pm):
-            # [(3,) B, n_ct, N, CT] partials -> [(3,) B, N] per-chunk maxabs
-            return chunk, jnp.max(pm, axis=(-3, -1))
+        def call_batched(boxes_k, gate_k, cb, **kw):
+            r = roi_pool_fused_batched(
+                feat, boxes_k, gate_k, cb, c_take=c_take,
+                output_size=self.output_size, spatial_scale=self.scales[0],
+                loop_pool=loop, context_ratio=1.8, **quant_kw, **kw,
+            )
+            if use_maxabs:
+                # [(3,) B, n_ct, N, CT] partials -> [(3,) B, N] maxabs
+                return r[0], jnp.max(r[1], axis=(-3, -1))
+            return r
 
         if mrrp:
             n_br = feat.shape[0] // b
@@ -276,34 +292,44 @@ class ROIPooler:
                 if level_ids is not None
                 else jnp.zeros(boxes.shape[:2], jnp.int32)
             )
-            boxes_s, gate_s, branch_s, unsort_idx = branch_partition(
-                boxes, gate, branch, n_br
+            if use_cls:
+                cls = pool_width_classes(boxes, self.scales[0], feat.shape[2])
+                key, n_keys = branch * ncls + cls, n_br * ncls
+            else:
+                key, n_keys = branch, n_br
+            boxes_s, gate_s, key_s, unsort_idx = branch_partition(
+                boxes, gate, key, n_keys
             )
-            branch_f = branch_s.astype(jnp.float32)
+            branch_s = key_s // ncls if use_cls else key_s
 
             def mk_branched(cb):
-                if use_maxabs:
-                    src = _branch_src_tbl(branch_s.astype(jnp.int32), b, 8)
-                    return reduce_pm(*roi_pool_fused_batched(
-                        feat, boxes_s, gate_s, cb, c_take=c_take,
-                        output_size=self.output_size,
-                        spatial_scale=self.scales[0], loop_pool=loop,
-                        context_ratio=1.8, quant="maxabs", src_tbl=src,
-                    ))
+                if use_maxabs or use_cls:
+                    kw = {"src_tbl": _branch_src_tbl(branch_s, b, 8)}
+                    if use_cls:
+                        kw["cls_tbl"] = (key_s % ncls)[:, ::8]
+                    return call_batched(boxes_s, gate_s, cb, **kw)
                 return roi_pool_fused_branched_ad(
-                    feat, boxes_s, gate_s, branch_f, cb, c_take,
-                    self.output_size, self.scales[0], loop, 1.8,
+                    feat, boxes_s, gate_s, branch_s.astype(jnp.float32), cb,
+                    c_take, self.output_size, self.scales[0], loop, 1.8,
                 )
 
             return emit(mk_branched, boxes_s.shape[1], loop), unsort_idx
 
+        if use_cls:
+            cls = pool_width_classes(boxes, self.scales[0], feat.shape[2])
+            boxes_s, gate_s, key_s, unsort_idx = branch_partition(
+                boxes, gate, cls, ncls
+            )
+            cls_tbl = key_s[:, ::8]
+
+            def mk_plain_sorted(cb):
+                return call_batched(boxes_s, gate_s, cb, cls_tbl=cls_tbl)
+
+            return emit(mk_plain_sorted, boxes_s.shape[1], loop), unsort_idx
+
         def mk_plain(cb):
             if use_maxabs:
-                return reduce_pm(*roi_pool_fused_batched(
-                    feat, boxes, gate, cb, c_take=c_take,
-                    output_size=self.output_size, spatial_scale=self.scales[0],
-                    loop_pool=loop, context_ratio=1.8, quant="maxabs",
-                ))
+                return call_batched(boxes, gate, cb)
             return roi_pool_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,
                 self.scales[0], loop, 1.8,

@@ -65,6 +65,11 @@ NEG = -3.0e38  # representable in bf16 and f32
 # were all slower; see git history.
 POOL_WIN = 48
 LOOP_WIN = 96  # narrow x-window for ROILoopPool (covers the 1.8x outer box)
+# width classes for class-SORTED plain pooling (one static-window branch per
+# 8-ROI block): (x-window px, stage-B one-hot candidates per bin); the last
+# (None) class is the full-row wide path. Class c covers rw <= w_sl - 7
+# (8-alignment slop); j_cap = (w_sl - 8) // 7 + 2 candidate columns.
+POOL_WIN_CLASSES = ((24, 4), (48, 8), (None, None))
 
 # Flipped by CPU tests to run the kernels (incl. the AD wrappers, whose
 # custom_vjp signatures have no room for an interpret arg) in interpret mode.
@@ -106,6 +111,23 @@ def _w_edges(rx1, rw, p, w_lim):
 def _meta_words(p: int) -> int:
     """int32 word count of the packed per-ROI region meta (int16 pairs)."""
     return (2 + 2 * p + 1) // 2
+
+
+def pool_width_classes(rois, spatial_scale, w):
+    """Per-ROI width class ids ([..., N] int32 into ``POOL_WIN_CLASSES``)
+    for class-sorted fused plain pooling. Classes whose window exceeds the
+    8-aligned feature width collapse into the wide class."""
+    x1, x2 = rois[..., 0], rois[..., 2]
+    rx1 = jnp.floor(x1 * spatial_scale + 0.5).astype(jnp.int32)
+    rx2 = jnp.floor(x2 * spatial_scale + 0.5).astype(jnp.int32)
+    rw = jnp.maximum(rx2 - rx1 + 1, 1)
+    w_dma = -(-w // 8) * 8
+    cls = jnp.full(rw.shape, len(POOL_WIN_CLASSES) - 1, jnp.int32)
+    for cid in range(len(POOL_WIN_CLASSES) - 2, -1, -1):
+        w_sl, _ = POOL_WIN_CLASSES[cid]
+        if w_sl is not None and w_dma >= w_sl:
+            cls = jnp.where(rw <= w_sl - 7, jnp.int32(cid), cls)
+    return cls
 
 
 def _pack_region_meta(rois, spatial_scale, p, h_lim):
@@ -360,6 +382,8 @@ def _fused_pool_kernel(
     src_ref,  # [B*(N_pad//RB)] SMEM per-block feat dim-0 DMA source (MRRP
     #           branch routing: blocks are branch-pure, table = br*B + b;
     #           without routing the table is constant b)
+    cls_ref,  # [B*(N_pad//RB)] SMEM per-block width class (class-sorted
+    #           plain pool; None = per-ROI narrow/wide)
     feat_hbm,  # [B or n_br*B, H, W_dma, C] ANY/HBM
     out_ref,  # [(3,) 1, P, P, RB, CT] VMEM
     scale_ref,  # [(3,) 1, 1, RB] VMEM (quant) or None-like dummy
@@ -381,6 +405,7 @@ def _fused_pool_kernel(
     loop_pool: bool,
     context_ratio: float,
     quant: str,
+    cls_wins=(),  # ((w_sl, j_cap), ...) per class id; w_sl None = wide
 ):
     b = pl.program_id(0)
     ct_i = pl.program_id(1)
@@ -406,195 +431,217 @@ def _fused_pool_kernel(
 
     neg = full_buf.dtype.type(NEG)
 
-    for i in range(roi_block):
-        r = b * n_pad + rbi * roi_block + i
-
-        if not loop_pool:
-            # region metadata precomputed vectorized in XLA
-            # (_pack_region_meta) and prefetched: the kernel's per-ROI scalar
-            # work drops to W SMEM loads + 2W shifts per c-tile
+    if not loop_pool:
+        def plain_body(i, w_sl, j_cap):
+            """One ROI at a STATIC window class: ``w_sl`` px x-window with
+            ``j_cap`` one-hot candidates per bin, or the full-row wide path
+            (``w_sl=None``). Region metadata is precomputed vectorized in
+            XLA (_pack_region_meta) and prefetched: the kernel's per-ROI
+            scalar work drops to W SMEM loads + 2W shifts per c-tile."""
+            r = b * n_pad + rbi * roi_block + i
             gate = gate_ref[r]
             rx1, rw, hlo, hhi, w_edges = _unpack_region_meta(
                 rois_ref, r * _meta_words(p), p, w_lim
             )
-
-            def compute(x0, w_sl, hlo=hlo, hhi=hhi):
-                wd = w_sl or w_dma
-                if w_sl is not None:
-                    _fold_rows_carry(
-                        full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile
-                    )
-                    # narrow ROI (bin width <= win//7 + 1 <= 8): MXU path
-                    pooled = _onehot_gather_max(
-                        band_a, wd, x0, rx1, rw, w_lim, p, 8, c_tile,
-                        full_buf.dtype,
-                    )
-                else:
-                    band_a[:, :wd] = jnp.full(
-                        (p, wd, c_tile), neg, full_buf.dtype
-                    )
-                    _fold_rows(
-                        full_buf, band_a, None, hlo, hhi, x0, wd, w_sl, p
-                    )
-                    wlo, whi = w_edges()
-                    col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
-                    pooled = _band_max(band_a, wd, col, wlo, whi, p).astype(
-                        jnp.float32
-                    )
-                # empty bins -> 0 (torchvision convention)
-                pooled = jnp.where(pooled <= NEG / 2, 0.0, pooled)
-                _write_out(
-                    out_ref, scale_ref, [pooled], gate, i,
-                    rbi * roi_block + i, quant,
-                )
-
-            if narrow_enabled:
-                narrow = rw <= win - 7
-                x0 = jnp.clip(rx1, 0, w_dma - win)
+            wd = w_sl or w_dma
+            if w_sl is not None:
+                x0 = jnp.clip(rx1, 0, w_dma - w_sl)
                 x0 = pl.multiple_of((x0 // 8) * 8, 8)
-
-                @pl.when(narrow)
-                def _():
-                    compute(x0, win)
-
-                @pl.when(jnp.logical_not(narrow))
-                def _():
-                    compute(jnp.int32(0), None)
+                _fold_rows_carry(
+                    full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile
+                )
+                # narrow ROI (bin width <= (w_sl-7)//p + 1 <= j_cap): MXU path
+                pooled = _onehot_gather_max(
+                    band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                    full_buf.dtype,
+                )
             else:
-                compute(jnp.int32(0), None)
+                x0 = jnp.int32(0)
+                band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
+                _fold_rows(
+                    full_buf, band_a, None, hlo, hhi, x0, wd, w_sl, p
+                )
+                wlo, whi = w_edges()
+                col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                pooled = _band_max(band_a, wd, col, wlo, whi, p).astype(
+                    jnp.float32
+                )
+            # empty bins -> 0 (torchvision convention)
+            pooled = jnp.where(pooled <= NEG / 2, 0.0, pooled)
+            _write_out(
+                out_ref, scale_ref, [pooled], gate, i,
+                rbi * roi_block + i, quant,
+            )
+
+        if cls_ref is not None:
+            # width-class-sorted blocks: ONE branch per 8-ROI block instead
+            # of per ROI (per-ROI class branches measured +247 ms; see
+            # POOL_WIN history), with the cheapest static window per class
+            cls = cls_ref[b * n_blocks + rbi]
+            for cid, (w_sl, jc) in enumerate(cls_wins):
+                if w_sl is not None and w_sl > w_dma:
+                    # window wider than the feature row: the host class
+                    # assignment (pool_width_classes) never emits this id,
+                    # but the branch body must still trace — as wide
+                    w_sl, jc = None, None
+
+                @pl.when(cls == cid)
+                def _(w_sl=w_sl, jc=jc):
+                    for i in range(roi_block):
+                        plain_body(i, w_sl, jc)
         else:
-            # ---- ROILoopPool: ROI / frame / context ------------------------
-            x1 = rois_ref[r * 5 + 0]
-            y1 = rois_ref[r * 5 + 1]
-            x2 = rois_ref[r * 5 + 2]
-            y2 = rois_ref[r * 5 + 3]
-            gate = rois_ref[r * 5 + 4]
-            img_h = h_lim / spatial_scale
-            img_w = w_lim / spatial_scale
-            rw_f = x2 - x1
-            rh_f = y2 - y1
-            in_dw = (rw_f - rw_f / context_ratio) * 0.5
-            in_dh = (rh_f - rh_f / context_ratio) * 0.5
-            out_dw = (rw_f * context_ratio - rw_f) * 0.5
-            out_dh = (rh_f * context_ratio - rh_f) * 0.5
-            # inner box (clipped, image coords) -> rounded strict interior
-            ixa = _round_scalar(_clipf(x1 + in_dw, img_w) * spatial_scale)
-            iya = _round_scalar(_clipf(y1 + in_dh, img_h) * spatial_scale)
-            ixb = _round_scalar(_clipf(x2 - in_dw, img_w) * spatial_scale)
-            iyb = _round_scalar(_clipf(y2 - in_dh, img_h) * spatial_scale)
-            # ROI hole (unclipped, matching the reference kernel)
-            rxa = _round_scalar(x1 * spatial_scale)
-            rya = _round_scalar(y1 * spatial_scale)
-            rxb = _round_scalar(x2 * spatial_scale)
-            ryb = _round_scalar(y2 * spatial_scale)
-            # outer box (clipped)
-            xo1 = _clipf(x1 - out_dw, img_w)
-            yo1 = _clipf(y1 - out_dh, img_h)
-            xo2 = _clipf(x2 + out_dw, img_w)
-            yo2 = _clipf(y2 + out_dh, img_h)
+            for i in range(roi_block):
+                if narrow_enabled:
+                    r = b * n_pad + rbi * roi_block + i
+                    rw = rois_ref[r * _meta_words(p)] >> 16
+                    narrow = rw <= win - 7
 
-            rx1_r, rw_r, hlo_r, hhi_r, we_r = _region_meta(
-                x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
-            )
-            rx1_o, rw_o, hlo_o, hhi_o, we_o = _region_meta(
-                xo1, yo1, xo2, yo2, spatial_scale, p, h_lim, w_lim
-            )
+                    @pl.when(narrow)
+                    def _(i=i):
+                        plain_body(i, win, 8)
 
-            def compute_loop(x0, w_sl):
-                wd = w_sl or w_dma
-                init = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
-                dt = full_buf.dtype
-                jc = 16  # win96: bin width <= ceil(89/7)+1 = 14
-
-                # walk 1: ROI rows -> band_a (all), band_b (outside inner)
-                band_a[:, :wd] = init
-                band_b[:, :wd] = init
-                _fold_rows(
-                    full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
-                    row_cond=lambda h: jnp.logical_or(h <= iya, h >= iyb),
-                )
-                if w_sl is not None:
-                    # MXU stage B: ONE candidate-gather dot set per band,
-                    # shared across the region variants (hole masks apply at
-                    # the j-group reduce, not in the dot)
-                    va, valid_r, tabs_r = _onehot_candidates(
-                        band_a, wd, x0, rx1_r, rw_r, w_lim, p, jc, c_tile, dt
-                    )
-                    vb, _, _ = _onehot_candidates(
-                        band_b, wd, x0, rx1_r, rw_r, w_lim, p, jc, c_tile, dt
-                    )
-                    hole_f = jnp.logical_and(
-                        valid_r,
-                        jnp.logical_or(tabs_r <= ixa, tabs_r >= ixb),
-                    )
-                    pooled_roi = _jgroup_max(va, valid_r, p, jc, c_tile)
-                    f1 = _jgroup_max(va, hole_f, p, jc, c_tile)
-                    f2 = _jgroup_max(vb, valid_r, p, jc, c_tile)
+                    @pl.when(jnp.logical_not(narrow))
+                    def _(i=i):
+                        plain_body(i, None, None)
                 else:
-                    wlo_r, whi_r = we_r()
-                    col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
-                    pooled_roi = _band_max(band_a, wd, col, wlo_r, whi_r, p)
-                    f1 = _band_max(
-                        band_a, wd, col, wlo_r, whi_r, p, hole_x=(ixa, ixb)
-                    )
-                    f2 = _band_max(band_b, wd, col, wlo_r, whi_r, p)
-                # maxval starts at 0 in the reference kernel (inputs >= 0)
-                roi_v = jnp.maximum(pooled_roi.astype(jnp.float32), 0.0)
-                frame_v = jnp.maximum(
-                    jnp.maximum(f1, f2).astype(jnp.float32), 0.0
+                    plain_body(i, None, None)
+        return
+
+    for i in range(roi_block):
+        r = b * n_pad + rbi * roi_block + i
+
+        # ---- ROILoopPool: ROI / frame / context ------------------------
+        x1 = rois_ref[r * 5 + 0]
+        y1 = rois_ref[r * 5 + 1]
+        x2 = rois_ref[r * 5 + 2]
+        y2 = rois_ref[r * 5 + 3]
+        gate = rois_ref[r * 5 + 4]
+        img_h = h_lim / spatial_scale
+        img_w = w_lim / spatial_scale
+        rw_f = x2 - x1
+        rh_f = y2 - y1
+        in_dw = (rw_f - rw_f / context_ratio) * 0.5
+        in_dh = (rh_f - rh_f / context_ratio) * 0.5
+        out_dw = (rw_f * context_ratio - rw_f) * 0.5
+        out_dh = (rh_f * context_ratio - rh_f) * 0.5
+        # inner box (clipped, image coords) -> rounded strict interior
+        ixa = _round_scalar(_clipf(x1 + in_dw, img_w) * spatial_scale)
+        iya = _round_scalar(_clipf(y1 + in_dh, img_h) * spatial_scale)
+        ixb = _round_scalar(_clipf(x2 - in_dw, img_w) * spatial_scale)
+        iyb = _round_scalar(_clipf(y2 - in_dh, img_h) * spatial_scale)
+        # ROI hole (unclipped, matching the reference kernel)
+        rxa = _round_scalar(x1 * spatial_scale)
+        rya = _round_scalar(y1 * spatial_scale)
+        rxb = _round_scalar(x2 * spatial_scale)
+        ryb = _round_scalar(y2 * spatial_scale)
+        # outer box (clipped)
+        xo1 = _clipf(x1 - out_dw, img_w)
+        yo1 = _clipf(y1 - out_dh, img_h)
+        xo2 = _clipf(x2 + out_dw, img_w)
+        yo2 = _clipf(y2 + out_dh, img_h)
+
+        rx1_r, rw_r, hlo_r, hhi_r, we_r = _region_meta(
+            x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
+        )
+        rx1_o, rw_o, hlo_o, hhi_o, we_o = _region_meta(
+            xo1, yo1, xo2, yo2, spatial_scale, p, h_lim, w_lim
+        )
+
+        def compute_loop(x0, w_sl):
+            wd = w_sl or w_dma
+            init = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
+            dt = full_buf.dtype
+            jc = 16  # win96: bin width <= ceil(89/7)+1 = 14
+
+            # walk 1: ROI rows -> band_a (all), band_b (outside inner)
+            band_a[:, :wd] = init
+            band_b[:, :wd] = init
+            _fold_rows(
+                full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
+                row_cond=lambda h: jnp.logical_or(h <= iya, h >= iyb),
+            )
+            if w_sl is not None:
+                # MXU stage B: ONE candidate-gather dot set per band,
+                # shared across the region variants (hole masks apply at
+                # the j-group reduce, not in the dot)
+                va, valid_r, tabs_r = _onehot_candidates(
+                    band_a, wd, x0, rx1_r, rw_r, w_lim, p, jc, c_tile, dt
                 )
-
-                # walk 2: outer rows -> band_a (all), band_b (outside ROI)
-                band_a[:, :wd] = init
-                band_b[:, :wd] = init
-                _fold_rows(
-                    full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
-                    row_cond=lambda h: jnp.logical_or(h <= rya, h >= ryb),
+                vb, _, _ = _onehot_candidates(
+                    band_b, wd, x0, rx1_r, rw_r, w_lim, p, jc, c_tile, dt
                 )
-                if w_sl is not None:
-                    va, valid_o, tabs_o = _onehot_candidates(
-                        band_a, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
-                    )
-                    vb, _, _ = _onehot_candidates(
-                        band_b, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
-                    )
-                    hole_c = jnp.logical_and(
-                        valid_o,
-                        jnp.logical_or(tabs_o <= rxa, tabs_o >= rxb),
-                    )
-                    c1 = _jgroup_max(va, hole_c, p, jc, c_tile)
-                    c2 = _jgroup_max(vb, valid_o, p, jc, c_tile)
-                else:
-                    wlo_o, whi_o = we_o()
-                    col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
-                    c1 = _band_max(
-                        band_a, wd, col, wlo_o, whi_o, p, hole_x=(rxa, rxb)
-                    )
-                    c2 = _band_max(band_b, wd, col, wlo_o, whi_o, p)
-                ctx_v = jnp.maximum(jnp.maximum(c1, c2).astype(jnp.float32), 0.0)
-
-                _write_out(
-                    out_ref, scale_ref, [roi_v, frame_v, ctx_v], gate, i,
-                    rbi * roi_block + i, quant,
+                hole_f = jnp.logical_and(
+                    valid_r,
+                    jnp.logical_or(tabs_r <= ixa, tabs_r >= ixb),
                 )
-
-            if narrow_enabled:
-                # rw_r is the UNCLIPPED ROI width: an ROI mostly outside the
-                # image can have rw_r >> rw_o, overflowing the j_cap=16
-                # candidate budget of the MXU stage B -> force it wide
-                narrow = jnp.logical_and(rw_o <= win - 7, rw_r <= 7 * 15)
-                x0 = jnp.clip(rx1_o, 0, w_dma - win)
-                x0 = pl.multiple_of((x0 // 8) * 8, 8)
-
-                @pl.when(narrow)
-                def _():
-                    compute_loop(x0, win)
-
-                @pl.when(jnp.logical_not(narrow))
-                def _():
-                    compute_loop(jnp.int32(0), None)
+                pooled_roi = _jgroup_max(va, valid_r, p, jc, c_tile)
+                f1 = _jgroup_max(va, hole_f, p, jc, c_tile)
+                f2 = _jgroup_max(vb, valid_r, p, jc, c_tile)
             else:
+                wlo_r, whi_r = we_r()
+                col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                pooled_roi = _band_max(band_a, wd, col, wlo_r, whi_r, p)
+                f1 = _band_max(
+                    band_a, wd, col, wlo_r, whi_r, p, hole_x=(ixa, ixb)
+                )
+                f2 = _band_max(band_b, wd, col, wlo_r, whi_r, p)
+            # maxval starts at 0 in the reference kernel (inputs >= 0)
+            roi_v = jnp.maximum(pooled_roi.astype(jnp.float32), 0.0)
+            frame_v = jnp.maximum(
+                jnp.maximum(f1, f2).astype(jnp.float32), 0.0
+            )
+
+            # walk 2: outer rows -> band_a (all), band_b (outside ROI)
+            band_a[:, :wd] = init
+            band_b[:, :wd] = init
+            _fold_rows(
+                full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
+                row_cond=lambda h: jnp.logical_or(h <= rya, h >= ryb),
+            )
+            if w_sl is not None:
+                va, valid_o, tabs_o = _onehot_candidates(
+                    band_a, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
+                )
+                vb, _, _ = _onehot_candidates(
+                    band_b, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
+                )
+                hole_c = jnp.logical_and(
+                    valid_o,
+                    jnp.logical_or(tabs_o <= rxa, tabs_o >= rxb),
+                )
+                c1 = _jgroup_max(va, hole_c, p, jc, c_tile)
+                c2 = _jgroup_max(vb, valid_o, p, jc, c_tile)
+            else:
+                wlo_o, whi_o = we_o()
+                col = jax.lax.broadcasted_iota(jnp.int32, (wd, 1), 0) + x0
+                c1 = _band_max(
+                    band_a, wd, col, wlo_o, whi_o, p, hole_x=(rxa, rxb)
+                )
+                c2 = _band_max(band_b, wd, col, wlo_o, whi_o, p)
+            ctx_v = jnp.maximum(jnp.maximum(c1, c2).astype(jnp.float32), 0.0)
+
+            _write_out(
+                out_ref, scale_ref, [roi_v, frame_v, ctx_v], gate, i,
+                rbi * roi_block + i, quant,
+            )
+
+        if narrow_enabled:
+            # rw_r is the UNCLIPPED ROI width: an ROI mostly outside the
+            # image can have rw_r >> rw_o, overflowing the j_cap=16
+            # candidate budget of the MXU stage B -> force it wide
+            narrow = jnp.logical_and(rw_o <= win - 7, rw_r <= 7 * 15)
+            x0 = jnp.clip(rx1_o, 0, w_dma - win)
+            x0 = pl.multiple_of((x0 // 8) * 8, 8)
+
+            @pl.when(narrow)
+            def _():
+                compute_loop(x0, win)
+
+            @pl.when(jnp.logical_not(narrow))
+            def _():
                 compute_loop(jnp.int32(0), None)
+        else:
+            compute_loop(jnp.int32(0), None)
 
 
 @functools.partial(
@@ -618,6 +665,7 @@ def roi_pool_fused_batched(
     context_ratio: float = 1.8,
     quant: str = "none",
     src_tbl: jnp.ndarray | None = None,  # [B, N//roi_block] int32
+    cls_tbl: jnp.ndarray | None = None,  # [B, N//roi_block] int32
     interpret: bool = False,
 ):
     """Max-pool ``feat[..., c_base:c_base+c_take]`` for every ROI of every
@@ -668,6 +716,7 @@ def roi_pool_fused_batched(
                 output_size=output_size, spatial_scale=spatial_scale,
                 c_take=c_take, c_tile=c_tile, roi_block=roi_block,
                 loop_pool=loop_pool, context_ratio=context_ratio, quant=quant,
+                cls_tbl=None if cls_tbl is None else cls_tbl[i : i + g],
                 interpret=interpret,
             )
             for i in range(0, b, g)
@@ -719,6 +768,13 @@ def roi_pool_fused_batched(
         assert pad == 0, "src_tbl requires block-aligned N"
         assert src_tbl.shape == (b, n_pad // roi_block), src_tbl.shape
         src_flat = src_tbl.astype(jnp.int32).reshape(-1)
+    if cls_tbl is not None:
+        assert not loop_pool, "width classes are a plain-pool feature"
+        assert pad == 0, "cls_tbl requires block-aligned N"
+        assert cls_tbl.shape == (b, n_pad // roi_block), cls_tbl.shape
+        cls_flat = cls_tbl.astype(jnp.int32).reshape(-1)
+    else:
+        cls_flat = None
 
     tri = (3,) if loop_pool else ()
     out_dtype = jnp.int8 if quant == "int8" else feat.dtype
@@ -775,11 +831,15 @@ def roi_pool_fused_batched(
     def kernel_entry(*args):
         if loop_pool:
             rois_s, cbase_s, src_s = args[:3]
-            gate_s = None
+            gate_s = cls_s = None
             rest = args[3:]
         else:
             rois_s, gate_s, cbase_s, src_s = args[:4]
             rest = args[4:]
+            if cls_flat is not None:
+                cls_s, rest = rest[0], rest[1:]
+            else:
+                cls_s = None
         feat_ref = rest[0]
         rest = rest[1:]
         if quant in ("int8", "maxabs"):
@@ -794,12 +854,13 @@ def roi_pool_fused_batched(
             full, ba, sem_ = rest
             bb = None
         _fused_pool_kernel(
-            rois_s, gate_s, cbase_s, src_s, feat_ref, out_r, scale_r, full,
-            ba, bb, sem_,
+            rois_s, gate_s, cbase_s, src_s, cls_s, feat_ref, out_r, scale_r,
+            full, ba, bb, sem_,
             p=p, spatial_scale=spatial_scale, roi_block=roi_block,
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
             context_ratio=context_ratio, quant=quant,
+            cls_wins=POOL_WIN_CLASSES,
         )
 
     scal_args = (
@@ -807,6 +868,8 @@ def roi_pool_fused_batched(
         if loop_pool
         else (roi_tbl, gate_tbl, cbase, src_flat)
     )
+    if cls_flat is not None:
+        scal_args = scal_args + (cls_flat,)
     two_out = quant in ("int8", "maxabs")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scal_args),
