@@ -76,31 +76,12 @@ POOL_WIN_CLASSES = ((24, 4), (48, 8), (None, None))
 _INTERPRET = False
 
 
-def _round_scalar(x):
-    return jnp.floor(x + 0.5).astype(jnp.int32)
-
-
-def _region_meta(x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim):
-    """Rounded integer region + per-bin [lo, hi) edges as python lists of
-    traced scalars (torchvision convention; exact integer floor/ceil).
-
-    The w edges are returned as a THUNK: the scalar-core serialization of
-    the 28 per-ROI edge computations costs ~36 ms across the bench sweep
-    (measured v5e), and the narrow/MXU stage B recomputes its w edges
-    vectorized on the VPU instead — only the wide fallback branch forces
-    the scalar w lists."""
-    rx1 = _round_scalar(x1 * spatial_scale)
-    ry1 = _round_scalar(y1 * spatial_scale)
-    rx2 = _round_scalar(x2 * spatial_scale)
-    ry2 = _round_scalar(y2 * spatial_scale)
-    rw = jnp.maximum(rx2 - rx1 + 1, 1)
-    rh = jnp.maximum(ry2 - ry1 + 1, 1)
-    hlo = [jnp.clip((ph * rh) // p + ry1, 0, h_lim) for ph in range(p)]
-    hhi = [jnp.clip(-((-(ph + 1) * rh) // p) + ry1, 0, h_lim) for ph in range(p)]
-    return rx1, rw, hlo, hhi, functools.partial(_w_edges, rx1, rw, p, w_lim)
-
-
 def _w_edges(rx1, rw, p, w_lim):
+    """Per-bin [lo, hi) x edges, lazily forced: only the full-row wide
+    branch needs them as scalars — the narrow/MXU stage B recomputes its w
+    edges vectorized on the VPU (the scalar-core serialization of the 28
+    per-ROI edge computations cost ~36 ms across the bench sweep when
+    eager; measured v5e)."""
     wlo = [jnp.clip((pw * rw) // p + rx1, 0, w_lim) for pw in range(p)]
     whi = [
         jnp.clip(-((-(pw + 1) * rw) // p) + rx1, 0, w_lim) for pw in range(p)
@@ -130,18 +111,9 @@ def pool_width_classes(rois, spatial_scale, w):
     return cls
 
 
-def _pack_region_meta(rois, spatial_scale, p, h_lim):
-    """XLA-side (vectorized) plain-pool region metadata, packed into int16
-    pairs for SMEM scalar prefetch: ``[..., W]`` int32 with value order
-    ``rx1, rw, hlo[0..p), hhi[0..p)`` (zero-padded to an even count).
-
-    The per-ROI scalar-core float math this replaces (4 round-to-ints + 2p
-    clipped floor-div edges, ~90 serialized ops) measured ~33 ms across the
-    B8 x 5024 x 2048ch bench sweep; here it's ~20 elementwise ops on a
-    [B, N] array, fused into the ROI-table prep. Values are clipped to int16
-    range — only boxes thousands of px outside the feature map would hit the
-    clip, and their h/w edges clamp to empty bins either way."""
-    x1, y1, x2, y2 = (rois[..., i] for i in range(4))
+def _region_meta_vals(x1, y1, x2, y2, spatial_scale, p, h_lim):
+    """Vectorized region metadata value list ``[rx1, rw, hlo*p, hhi*p]``
+    (same floor/ceil integer formulas as the kernel-side ``_region_meta``)."""
 
     def rnd(v):
         return jnp.floor(v * spatial_scale + 0.5).astype(jnp.int32)
@@ -154,8 +126,16 @@ def _pack_region_meta(rois, spatial_scale, p, h_lim):
     vals += [
         jnp.clip(-((-(ph + 1) * rh) // p) + ry1, 0, h_lim) for ph in range(p)
     ]
+    return vals
+
+
+def _pack_words(vals):
+    """Pack an int32 value list into int16 pairs ([..., ceil(len/2)] int32).
+    Values are clipped to int16 range — only boxes thousands of px outside
+    the feature map would hit the clip, and their edges clamp to empty bins
+    either way."""
     if len(vals) % 2:
-        vals.append(jnp.zeros_like(rx1))
+        vals = vals + [jnp.zeros_like(vals[0])]
     words = [
         (jnp.clip(a, -32768, 32767) & 0xFFFF)
         | (jnp.clip(b, -32768, 32767) << 16)
@@ -164,16 +144,80 @@ def _pack_region_meta(rois, spatial_scale, p, h_lim):
     return jnp.stack(words, axis=-1)
 
 
+def _unpack_words(meta_ref, base, n):
+    """Kernel-side unpack of ``_pack_words``: 1 scalar SMEM load + 2
+    arithmetic shifts per value pair."""
+    vals = []
+    for k in range((n + 1) // 2):
+        w_ = meta_ref[base + k]
+        vals.append((w_ << 16) >> 16)  # sign-extends
+        vals.append(w_ >> 16)
+    return vals[:n]
+
+
+def _pack_region_meta(rois, spatial_scale, p, h_lim):
+    """XLA-side (vectorized) plain-pool region metadata, packed into int16
+    pairs for SMEM scalar prefetch: ``[..., W]`` int32 with value order
+    ``rx1, rw, hlo[0..p), hhi[0..p)`` (zero-padded to an even count).
+
+    The per-ROI scalar-core float math this replaces (4 round-to-ints + 2p
+    clipped floor-div edges, ~90 serialized ops) measured ~33 ms across the
+    B8 x 5024 x 2048ch bench sweep; here it's ~20 elementwise ops on a
+    [B, N] array, fused into the ROI-table prep."""
+    x1, y1, x2, y2 = (rois[..., i] for i in range(4))
+    return _pack_words(
+        _region_meta_vals(x1, y1, x2, y2, spatial_scale, p, h_lim)
+    )
+
+
+def _loop_meta_words(p: int) -> int:
+    """int32 word count of the packed per-ROI ROILoopPool meta: two regions
+    (ROI + outer) plus the 8 hole/row-condition edges."""
+    return (4 * p + 12 + 1) // 2
+
+
+def _pack_loop_meta(rois, spatial_scale, p, h_lim, w_lim, context_ratio):
+    """XLA-side ROILoopPool geometry (reference ROILoopPool_cuda.cu
+    semantics: clipped inner/outer boxes, unclipped ROI hole), packed for
+    SMEM scalar prefetch. Value order: region R ``[rx1, rw, hlo*p, hhi*p]``,
+    region O (outer) same, then ``ixa, ixb, rxa, rxb, iya, iyb, rya, ryb``."""
+    x1, y1, x2, y2 = (rois[..., i] for i in range(4))
+    img_h = h_lim / spatial_scale
+    img_w = w_lim / spatial_scale
+
+    def rnd(v):
+        return jnp.floor(v * spatial_scale + 0.5).astype(jnp.int32)
+
+    rw_f = x2 - x1
+    rh_f = y2 - y1
+    in_dw = (rw_f - rw_f / context_ratio) * 0.5
+    in_dh = (rh_f - rh_f / context_ratio) * 0.5
+    out_dw = (rw_f * context_ratio - rw_f) * 0.5
+    out_dh = (rh_f * context_ratio - rh_f) * 0.5
+    ixa = rnd(jnp.clip(x1 + in_dw, 0.0, img_w))
+    iya = rnd(jnp.clip(y1 + in_dh, 0.0, img_h))
+    ixb = rnd(jnp.clip(x2 - in_dw, 0.0, img_w))
+    iyb = rnd(jnp.clip(y2 - in_dh, 0.0, img_h))
+    rxa, rya, rxb, ryb = rnd(x1), rnd(y1), rnd(x2), rnd(y2)
+    xo1 = jnp.clip(x1 - out_dw, 0.0, img_w)
+    yo1 = jnp.clip(y1 - out_dh, 0.0, img_h)
+    xo2 = jnp.clip(x2 + out_dw, 0.0, img_w)
+    yo2 = jnp.clip(y2 + out_dh, 0.0, img_h)
+    vals = _region_meta_vals(x1, y1, x2, y2, spatial_scale, p, h_lim)
+    vals += _region_meta_vals(xo1, yo1, xo2, yo2, spatial_scale, p, h_lim)
+    vals += [ixa, ixb, rxa, rxb, iya, iyb, rya, ryb]
+    return _pack_words(vals)
+
+
 def _unpack_region_meta(meta_ref, base, p, w_lim):
     """Kernel-side unpack of ``_pack_region_meta``'s words for one ROI:
     2 scalar SMEM loads + 2 shifts per value pair instead of the serialized
     float math of ``_region_meta``."""
-    nw = _meta_words(p)
-    words = [meta_ref[base + k] for k in range(nw)]
-    vals = []
-    for w_ in words:
-        vals.append((w_ << 16) >> 16)  # arithmetic shift: sign-extends
-        vals.append(w_ >> 16)
+    vals = _unpack_words(meta_ref, base, 2 + 2 * p)
+    return _region_vals_to_meta(vals, p, w_lim)
+
+
+def _region_vals_to_meta(vals, p, w_lim):
     rx1, rw = vals[0], vals[1]
     hlo = vals[2 : 2 + p]
     hhi = vals[2 + p : 2 + 2 * p]
@@ -316,10 +360,6 @@ def _band_max(band, wd, col, wlo, whi, p, hole_x=None):
     return jnp.stack(outs, axis=1)  # [P(ph), P(pw), CT]
 
 
-def _clipf(v, lim):
-    return jnp.clip(v, 0.0, lim)
-
-
 def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
     """Epilogue: gate-and-write (bf16), quantize-and-write (int8), or
     gate-and-write + per-lane maxabs partial row ("maxabs": the downstream
@@ -375,9 +415,9 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
 
 
 def _fused_pool_kernel(
-    rois_ref,  # loop pool: [B*N_pad*5] SMEM x1,y1,x2,y2,gate per ROI;
-    #            plain pool: [B*N_pad*W] packed region meta (_pack_region_meta)
-    gate_ref,  # plain pool: [B*N_pad] f32 SMEM per-ROI gate; loop pool: None
+    rois_ref,  # [B*N_pad*W] SMEM packed per-ROI geometry: _pack_region_meta
+    #            words (plain) or _pack_loop_meta words (loop pool)
+    gate_ref,  # [B*N_pad] f32 SMEM per-ROI gate
     cbase_ref,  # [1] SMEM channel base of this chunk
     src_ref,  # [B*(N_pad//RB)] SMEM per-block feat dim-0 DMA source (MRRP
     #           branch routing: blocks are branch-pure, table = br*B + b;
@@ -511,41 +551,18 @@ def _fused_pool_kernel(
         r = b * n_pad + rbi * roi_block + i
 
         # ---- ROILoopPool: ROI / frame / context ------------------------
-        x1 = rois_ref[r * 5 + 0]
-        y1 = rois_ref[r * 5 + 1]
-        x2 = rois_ref[r * 5 + 2]
-        y2 = rois_ref[r * 5 + 3]
-        gate = rois_ref[r * 5 + 4]
-        img_h = h_lim / spatial_scale
-        img_w = w_lim / spatial_scale
-        rw_f = x2 - x1
-        rh_f = y2 - y1
-        in_dw = (rw_f - rw_f / context_ratio) * 0.5
-        in_dh = (rh_f - rh_f / context_ratio) * 0.5
-        out_dw = (rw_f * context_ratio - rw_f) * 0.5
-        out_dh = (rh_f * context_ratio - rh_f) * 0.5
-        # inner box (clipped, image coords) -> rounded strict interior
-        ixa = _round_scalar(_clipf(x1 + in_dw, img_w) * spatial_scale)
-        iya = _round_scalar(_clipf(y1 + in_dh, img_h) * spatial_scale)
-        ixb = _round_scalar(_clipf(x2 - in_dw, img_w) * spatial_scale)
-        iyb = _round_scalar(_clipf(y2 - in_dh, img_h) * spatial_scale)
-        # ROI hole (unclipped, matching the reference kernel)
-        rxa = _round_scalar(x1 * spatial_scale)
-        rya = _round_scalar(y1 * spatial_scale)
-        rxb = _round_scalar(x2 * spatial_scale)
-        ryb = _round_scalar(y2 * spatial_scale)
-        # outer box (clipped)
-        xo1 = _clipf(x1 - out_dw, img_w)
-        yo1 = _clipf(y1 - out_dh, img_h)
-        xo2 = _clipf(x2 + out_dw, img_w)
-        yo2 = _clipf(y2 + out_dh, img_h)
-
-        rx1_r, rw_r, hlo_r, hhi_r, we_r = _region_meta(
-            x1, y1, x2, y2, spatial_scale, p, h_lim, w_lim
+        # all geometry (two regions + hole/row-condition edges) precomputed
+        # vectorized in XLA (_pack_loop_meta) and prefetched
+        gate = gate_ref[r]
+        k2 = 2 + 2 * p
+        vals = _unpack_words(rois_ref, r * _loop_meta_words(p), 4 * p + 12)
+        rx1_r, rw_r, hlo_r, hhi_r, we_r = _region_vals_to_meta(
+            vals[:k2], p, w_lim
         )
-        rx1_o, rw_o, hlo_o, hhi_o, we_o = _region_meta(
-            xo1, yo1, xo2, yo2, spatial_scale, p, h_lim, w_lim
+        rx1_o, rw_o, hlo_o, hhi_o, we_o = _region_vals_to_meta(
+            vals[k2 : 2 * k2], p, w_lim
         )
+        ixa, ixb, rxa, rxb, iya, iyb, rya, ryb = vals[2 * k2 :]
 
         def compute_loop(x0, w_sl):
             wd = w_sl or w_dma
@@ -697,9 +714,8 @@ def roi_pool_fused_batched(
 
     smem_budget = 960 * 1024
     n_pad_est = n + (-n) % roi_block
-    # loop pool: f32 rois5 table (20 B/ROI); plain pool: packed meta words +
-    # f32 gate table
-    roi_bytes = 5 * 4 if loop_pool else (_meta_words(p) + 1) * 4
+    # packed meta words + f32 gate table per ROI
+    roi_bytes = ((_loop_meta_words(p) if loop_pool else _meta_words(p)) + 1) * 4
     if b * n_pad_est * roi_bytes > smem_budget:
         assert src_tbl is None, (
             "branch-routed pooling with an SMEM-oversized ROI table: split "
@@ -752,13 +768,12 @@ def roi_pool_fused_batched(
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
     gate_p = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, pad)))
     if loop_pool:
-        roi_tbl = jnp.concatenate(
-            [rois_p, gate_p[..., None]], axis=-1
+        roi_tbl = _pack_loop_meta(
+            rois_p, spatial_scale, p, h, w, context_ratio
         ).reshape(-1)
-        gate_tbl = None
     else:
         roi_tbl = _pack_region_meta(rois_p, spatial_scale, p, h).reshape(-1)
-        gate_tbl = gate_p.reshape(-1)
+    gate_tbl = gate_p.reshape(-1)
     cbase = jnp.asarray([c_base], jnp.int32)
     if src_tbl is None:
         src_flat = jnp.broadcast_to(
@@ -829,17 +844,12 @@ def roi_pool_fused_batched(
     scratch.append(pltpu.SemaphoreType.DMA)
 
     def kernel_entry(*args):
-        if loop_pool:
-            rois_s, cbase_s, src_s = args[:3]
-            gate_s = cls_s = None
-            rest = args[3:]
+        rois_s, gate_s, cbase_s, src_s = args[:4]
+        rest = args[4:]
+        if cls_flat is not None:
+            cls_s, rest = rest[0], rest[1:]
         else:
-            rois_s, gate_s, cbase_s, src_s = args[:4]
-            rest = args[4:]
-            if cls_flat is not None:
-                cls_s, rest = rest[0], rest[1:]
-            else:
-                cls_s = None
+            cls_s = None
         feat_ref = rest[0]
         rest = rest[1:]
         if quant in ("int8", "maxabs"):
@@ -863,11 +873,7 @@ def roi_pool_fused_batched(
             cls_wins=POOL_WIN_CLASSES,
         )
 
-    scal_args = (
-        (roi_tbl, cbase, src_flat)
-        if loop_pool
-        else (roi_tbl, gate_tbl, cbase, src_flat)
-    )
+    scal_args = (roi_tbl, gate_tbl, cbase, src_flat)
     if cls_flat is not None:
         scal_args = scal_args + (cls_flat,)
     two_out = quant in ("int8", "maxabs")
