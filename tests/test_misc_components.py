@@ -291,3 +291,49 @@ def test_quantizable_conv_param_tree_matches_nn_conv():
     y_ref = nn.Conv(16, (3, 3), padding="SAME").apply(ref, x)
     y_got = QuantizableConv3x3(16).apply(ref, x)
     np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_got), atol=1e-6)
+
+
+def test_rpn_int8_conv_proposal_agreement():
+    """RPN-level guard for TPU.RPN_CONV_QUANT='int8': with shared params,
+    the int8 shifted-GEMM conv must keep the RPN's post-NMS proposal set
+    close to the fp path (>=75% of top boxes shared), and train mode must
+    bypass quantization entirely (bit-identical to fp train)."""
+    from wsovod_tpu.config import get_cfg
+    from wsovod_tpu.models.rpn import build_proposal_generator
+
+    rng = np.random.RandomState(0)
+    cfg = get_cfg()
+    cfg.MODEL.RPN.IN_FEATURES = ["res5"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    rpn_fp = build_proposal_generator(cfg, strides=[8])
+    cfg.TPU.RPN_CONV_QUANT = "int8"
+    rpn_q = build_proposal_generator(cfg, strides=[8])
+
+    feats = {
+        "res5": jnp.asarray(rng.randn(2, 10, 14, 64).astype(np.float32))
+    }
+    sizes = jnp.asarray([[80, 112]] * 2, jnp.int32)
+    params = rpn_fp.init(jax.random.PRNGKey(0), feats, sizes, train=False)
+    p_fp, _ = rpn_fp.apply(params, feats, sizes, train=False)
+    p_q, _ = rpn_q.apply(params, feats, sizes, train=False)
+    from wsovod_tpu.structures.boxes import pairwise_iou
+
+    for b in range(2):
+        vf = np.asarray(p_fp.valid[b])
+        bf = jnp.asarray(np.asarray(p_fp.proposal_boxes[b])[vf])
+        bq = jnp.asarray(
+            np.asarray(p_q.proposal_boxes[b])[np.asarray(p_q.valid[b])]
+        )
+        # quant noise perturbs every decoded box a little; demand that most
+        # fp proposals have a near-identical int8 counterpart
+        iou = np.asarray(pairwise_iou(bf, bq))
+        matched = (iou.max(axis=1) > 0.8).mean()
+        assert matched >= 0.75, (matched, iou.shape)
+
+    # train path bypasses quant: identical aux logits
+    _, aux_fp = rpn_fp.apply(params, feats, sizes, train=True, rngs={})
+    _, aux_q = rpn_q.apply(params, feats, sizes, train=True, rngs={})
+    np.testing.assert_array_equal(
+        np.asarray(aux_fp.logits), np.asarray(aux_q.logits)
+    )

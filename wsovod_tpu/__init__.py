@@ -20,6 +20,15 @@ def _enable_compile_cache():
 
     if os.environ.get("WSOVOD_NO_COMPILE_CACHE"):
         return
+    # the cache exists for the minutes-long accelerator (Mosaic/tunnel)
+    # compiles; CPU runs (tests, tools under WSOVOD_PLATFORM=cpu) would only
+    # bloat it — and a cache entry truncated by a killed CPU test process
+    # segfaults later readers (observed with jax 0.9.0)
+    if (
+        "cpu" in os.environ.get("JAX_PLATFORMS", "")
+        or os.environ.get("WSOVOD_PLATFORM") == "cpu"
+    ):
+        return
     try:
         import jax
 
