@@ -658,3 +658,36 @@ def test_fused_pool_width_class_sorted(quant):
         pm = np.asarray(jnp.max(out[1], axis=(-3, -1)))
         want_pm = np.abs(np.asarray(payload, np.float32)).max(axis=(1, 2, 4))
         np.testing.assert_array_equal(pm, want_pm)
+
+
+def test_fused_branched_smem_batch_split(monkeypatch):
+    """Branch-routed pooling with an SMEM-oversized ROI table B-splits by
+    regrouping the branch-major feature concat and remapping the source
+    table — must be bit-identical to the unsplit call."""
+    from wsovod_tpu.models.poolers import branch_partition
+    from wsovod_tpu.ops.pallas.roi_pool_fused import _branch_src_tbl
+
+    rng = np.random.RandomState(13)
+    b, n_br, h, w, c, n = 4, 2, 14, 21, 128, 11
+    scale = 0.25
+    feat = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+    xy = rng.uniform(0, 50, (b, n, 2))
+    wh = rng.uniform(4, 30, (b, n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2, (b, n)).astype(np.float32))
+    branch = jnp.asarray(rng.randint(0, n_br, (b, n)))
+    boxes_s, gate_s, branch_s, _ = branch_partition(rois, gate, branch, n_br)
+    src = _branch_src_tbl(branch_s.astype(jnp.int32), b, 8)
+
+    full = rpf.roi_pool_fused_batched(
+        feat, boxes_s, gate_s, spatial_scale=scale, loop_pool=True,
+        src_tbl=src, interpret=True,
+    )
+    # force the split path (fresh trace: the budget is read at trace time
+    # and these shapes are unique to this test)
+    monkeypatch.setattr(rpf, "SMEM_BUDGET", 4000)
+    split = rpf.roi_pool_fused_batched(
+        feat, boxes_s, gate_s, 0, c_take=c, spatial_scale=scale,
+        loop_pool=True, src_tbl=src, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))

@@ -71,6 +71,10 @@ LOOP_WIN = 96  # narrow x-window for ROILoopPool (covers the 1.8x outer box)
 # (8-alignment slop); j_cap = (w_sl - 8) // 7 + 2 candidate columns.
 POOL_WIN_CLASSES = ((24, 4), (48, 8), (None, None))
 
+# scalar-prefetch SMEM budget for the per-ROI tables (the hardware bank is
+# 1 MB; headroom for the other scalar operands). Oversized tables B-split.
+SMEM_BUDGET = 960 * 1024
+
 # Flipped by CPU tests to run the kernels (incl. the AD wrappers, whose
 # custom_vjp signatures have no room for an interpret arg) in interpret mode.
 _INTERPRET = False
@@ -712,26 +716,39 @@ def roi_pool_fused_batched(
         # larger blocks measured no faster (cost is per-ROI, not per-block)
         roi_block = 8
 
-    smem_budget = 960 * 1024
     n_pad_est = n + (-n) % roi_block
     # packed meta words + f32 gate table per ROI
     roi_bytes = ((_loop_meta_words(p) if loop_pool else _meta_words(p)) + 1) * 4
-    if b * n_pad_est * roi_bytes > smem_budget:
-        assert src_tbl is None, (
-            "branch-routed pooling with an SMEM-oversized ROI table: split "
-            "the batch before building the block source table"
-        )
+    if b > 1 and b * n_pad_est * roi_bytes > SMEM_BUDGET:
         g = b
         while g > 1 and (
-            g * n_pad_est * roi_bytes > smem_budget or b % g != 0
+            g * n_pad_est * roi_bytes > SMEM_BUDGET or b % g != 0
         ):
             g -= 1
+        n_br = feat.shape[0] // b
+
+        def feat_group(i):
+            if src_tbl is None:
+                return feat[i : i + g]
+            # branch-major concat: take each branch's rows for this image
+            # group (XLA CSEs the identical slice across the chunk calls)
+            return feat.reshape(n_br, b, *feat.shape[1:])[
+                :, i : i + g
+            ].reshape(n_br * g, *feat.shape[1:])
+
+        def src_group(i):
+            if src_tbl is None:
+                return None
+            # remap branch*B + img into the group's branch*g + (img - i)
+            return (src_tbl[i : i + g] // b) * g + (src_tbl[i : i + g] % b - i)
+
         parts = [
             roi_pool_fused_batched(
-                feat[i : i + g], rois[i : i + g], gate[i : i + g], c_base,
+                feat_group(i), rois[i : i + g], gate[i : i + g], c_base,
                 output_size=output_size, spatial_scale=spatial_scale,
                 c_take=c_take, c_tile=c_tile, roi_block=roi_block,
                 loop_pool=loop_pool, context_ratio=context_ratio, quant=quant,
+                src_tbl=src_group(i),
                 cls_tbl=None if cls_tbl is None else cls_tbl[i : i + g],
                 interpret=interpret,
             )
