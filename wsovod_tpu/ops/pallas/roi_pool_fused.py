@@ -246,6 +246,31 @@ def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile):
         )
 
 
+def _fold_rows_carry_pair(
+    full_buf, band_a, band_b, hlo, hhi, x0, win, p, c_tile, row_cond
+):
+    """Loop-pool stage A (narrow path): one pass over each bin's rows with
+    the unconditional band as the ``fori`` CARRY (one slab read per row, no
+    read-modify-write) and the conditional band folded in place under
+    ``row_cond`` sharing the same row load. ``band_b`` must be
+    NEG-initialised by the caller; ``band_a`` is written once per bin."""
+    neg = full_buf.dtype.type(NEG)
+    for ph in range(p):
+        def body(h, acc, ph=ph):
+            row = full_buf[0, h, pl.ds(x0, win)]
+
+            @pl.when(row_cond(h))
+            def _():
+                band_b[ph, :win] = jnp.maximum(band_b[ph, :win], row)
+
+            return jnp.maximum(acc, row)
+
+        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        band_a[ph, :win] = jax.lax.fori_loop(
+            hlo[ph], hhi[ph], body, init, unroll=False
+        )
+
+
 def _fold_rows(full_buf, band, band2, hlo, hhi, x0, wd, win, p, row_cond=None):
     """Stage A: walk each bin's feature rows once, folding row ``[wd, CT]``
     maxes into ``band[ph, :wd]``; if ``band2``/``row_cond`` are given, also
@@ -575,12 +600,19 @@ def _fused_pool_kernel(
             jc = 16  # win96: bin width <= ceil(89/7)+1 = 14
 
             # walk 1: ROI rows -> band_a (all), band_b (outside inner)
-            band_a[:, :wd] = init
+            cond1 = lambda h: jnp.logical_or(h <= iya, h >= iyb)
             band_b[:, :wd] = init
-            _fold_rows(
-                full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
-                row_cond=lambda h: jnp.logical_or(h <= iya, h >= iyb),
-            )
+            if w_sl is not None:
+                _fold_rows_carry_pair(
+                    full_buf, band_a, band_b, hlo_r, hhi_r, x0, w_sl, p,
+                    c_tile, cond1,
+                )
+            else:
+                band_a[:, :wd] = init
+                _fold_rows(
+                    full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
+                    row_cond=cond1,
+                )
             if w_sl is not None:
                 # MXU stage B: ONE candidate-gather dot set per band,
                 # shared across the region variants (hole masks apply at
@@ -613,12 +645,19 @@ def _fused_pool_kernel(
             )
 
             # walk 2: outer rows -> band_a (all), band_b (outside ROI)
-            band_a[:, :wd] = init
+            cond2 = lambda h: jnp.logical_or(h <= rya, h >= ryb)
             band_b[:, :wd] = init
-            _fold_rows(
-                full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
-                row_cond=lambda h: jnp.logical_or(h <= rya, h >= ryb),
-            )
+            if w_sl is not None:
+                _fold_rows_carry_pair(
+                    full_buf, band_a, band_b, hlo_o, hhi_o, x0, w_sl, p,
+                    c_tile, cond2,
+                )
+            else:
+                band_a[:, :wd] = init
+                _fold_rows(
+                    full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
+                    row_cond=cond2,
+                )
             if w_sl is not None:
                 va, valid_o, tabs_o = _onehot_candidates(
                     band_a, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
