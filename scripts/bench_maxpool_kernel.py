@@ -6,9 +6,16 @@ Usage: python scripts/bench_maxpool_kernel.py [smoke|pool|loop|chain|all]
 """
 import sys, time, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("WSOVOD_PLATFORM"):  # sitecustomize pins JAX_PLATFORMS
+    os.environ["JAX_PLATFORMS"] = os.environ["WSOVOD_PLATFORM"]
 import numpy as np, jax, jax.numpy as jnp
-from wsovod_tpu.ops.pallas.roi_pool_fused import roi_pool_fused_batched
+from wsovod_tpu.ops.pallas.roi_pool_fused import (
+    POOL_WIN_CLASSES,
+    pool_width_classes,
+    roi_pool_fused_batched,
+)
 from wsovod_tpu.ops.pallas.roi_align_fused import roi_align_fused_batched
+from wsovod_tpu.models.poolers import branch_partition
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "all"
 iters = 10
@@ -23,6 +30,14 @@ wh = jax.random.uniform(jax.random.PRNGKey(2), (B, N, 2), minval=8, maxval=300)
 rois = jnp.concatenate([xy, xy + wh], -1).astype(jnp.float32)
 gate = jnp.ones((B, N), jnp.float32)
 kern = jax.jit(lambda: jax.random.normal(jax.random.PRNGKey(9), (7, 7, C, 4096), jnp.bfloat16) * 0.005)()
+
+# width-class-sorted variants (what fused_chunk_pool hands the kernel at
+# inference): sorted rois/gate + per-block class table
+_cls = pool_width_classes(rois, scale, 132)
+rois_s, gate_s, _key_s, _ = jax.jit(
+    lambda r, g, c: branch_partition(r, g, c, len(POOL_WIN_CLASSES))
+)(rois, gate, _cls)
+cls_tbl = _key_s[:, ::8]
 
 
 def fetch(o):
@@ -40,19 +55,22 @@ def timeit(name, fn, *args):
     print(f"{name}: {(time.perf_counter()-t0)/iters*1000:.2f} ms", flush=True)
 
 
-def pool_only(ct, loop=False, quant="none"):
+def pool_only(ct, loop=False, quant="none", cls=False):
     @jax.jit
-    def f(feat, rois, gate):
+    def f(feat, rois, gate, cls_tbl=None):
         acc = None
         for cb in range(0, C, ct):
             r = roi_pool_fused_batched(
                 feat, rois, gate, cb, c_take=ct, spatial_scale=scale,
-                loop_pool=loop, quant=quant,
+                loop_pool=loop, quant=quant, cls_tbl=cls_tbl,
             )
-            x = r[0] if quant == "int8" else r
+            x = r[0] if quant in ("int8", "maxabs") else r
             v = x[tuple(0 for _ in x.shape)].astype(jnp.float32)
             acc = v if acc is None else acc + v
         return acc
+
+    if cls:
+        return lambda feat, *_: f(feat, rois_s, gate_s, cls_tbl)
     return f
 
 
@@ -81,16 +99,24 @@ def chain(ct, loop=False, quant="none"):
 
 
 if mode == "smoke":
+    if jax.default_backend() == "cpu":
+        from wsovod_tpu.ops.pallas import roi_pool_fused as _rpf
+
+        _rpf._INTERPRET = True
     for loop in (False, True):
-        for quant in ("none", "int8"):
-            ct = 256 if loop else 512
-            r = pool_only(ct, loop, quant)(feat, rois, gate)
+        for quant in ("none", "int8", "maxabs"):
+            r = pool_only(C, loop, quant)(feat, rois, gate)
             fetch(r)
             print(f"smoke loop={loop} quant={quant}: ok", flush=True)
+    r = pool_only(C, cls=True)(feat, rois, gate)
+    fetch(r)
+    print("smoke cls-sorted: ok", flush=True)
     sys.exit(0)
 
 if mode in ("pool", "all"):
     timeit("roipool  bf16 ct512 (pool-only)", pool_only(512), feat, rois, gate)
+    timeit("roipool  bf16 ct512 CLS-SORTED", pool_only(512, cls=True), feat, rois, gate)
+    timeit("roipool  maxabs ct512 CLS-SORTED", pool_only(512, quant="maxabs", cls=True), feat, rois, gate)
     timeit("roipool  int8 ct512 (pool-only)", pool_only(512, quant="int8"), feat, rois, gate)
 if mode in ("align", "all"):
     @jax.jit

@@ -11,6 +11,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("WSOVOD_PLATFORM"):  # sitecustomize pins JAX_PLATFORMS
+    os.environ["JAX_PLATFORMS"] = os.environ["WSOVOD_PLATFORM"]
 import numpy as np
 import jax
 import jax.numpy as jnp
