@@ -71,5 +71,8 @@ step bench_rpn_conv python scripts/bench_rpn_conv.py
 step bench_roipool python bench.py
 step bench_roipool_rpnq env BENCH_RPN_QUANT=int8 python bench.py
 step bench_roialign env BENCH_POOLER=ROIAlignV2 python bench.py
+# A/B the round-3c lever defaults (skip if short on tunnel time)
+step bench_no_cls env WSOVOD_NO_POOL_CLS=1 python bench.py
+step bench_no_maxabs env WSOVOD_NO_POOL_MAXABS=1 python bench.py
 
 echo "=== session done; logs in $OUT"

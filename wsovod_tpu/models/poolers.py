@@ -263,14 +263,27 @@ class ROIPooler:
             roi_pool_fused_branched_ad,
         )
 
+        import os
+
         loop = self.pooler_type == "ROILoopPool"
         # inference + int8 fc1: emit (chunk, per-ROI maxabs) pairs
-        use_maxabs = (not train) and self.fc1_quant == "int8"
+        # (WSOVOD_NO_POOL_MAXABS=1 reverts to the in-DAN maxabs reduce, for
+        # perf A/B on hardware)
+        use_maxabs = (
+            (not train)
+            and self.fc1_quant == "int8"
+            and not os.environ.get("WSOVOD_NO_POOL_MAXABS")
+        )
         # inference plain pool: sort ROIs into width-class-pure blocks so the
         # kernel runs each block at its cheapest static window (the sort and
         # the fc-output unsort are ~1 ms; resorting the pooled tensor would
         # be ~100x). Training keeps the per-ROI narrow/wide AD path.
-        use_cls = (not train) and not loop
+        # (WSOVOD_NO_POOL_CLS=1 reverts to per-ROI narrow/wide, for A/B.)
+        use_cls = (
+            (not train)
+            and not loop
+            and not os.environ.get("WSOVOD_NO_POOL_CLS")
+        )
         ncls = len(POOL_WIN_CLASSES)
         quant_kw = {"quant": "maxabs"} if use_maxabs else {}
 
