@@ -691,3 +691,56 @@ def test_fused_branched_smem_batch_split(monkeypatch):
         loop_pool=True, src_tbl=src, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+
+def test_model_level_fused_mrrp_plain_cls_wiring(monkeypatch):
+    """MRRP + plain ROIPool at inference uses the composite branch*ncls+cls
+    key (branch-routed DMA AND width-class windows): fused chunks + DAN +
+    unsort must match the unfused pool-all-branches-and-select reference."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(23)
+        b, n_br, h, w, c, n = 2, 2, 14, 56, 256, 10
+        feat = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 60, (b, n, 2))
+        wh = np.concatenate(
+            [rng.uniform(4, 30, (b, n // 2, 2)), rng.uniform(80, 160, (b, n - n // 2, 2))],
+            axis=1,
+        )
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        valid = jnp.ones((b, n), bool)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        level_ids = jnp.asarray(rng.randint(0, n_br, (b, n)) * 1000)
+
+        pooler = ROIPooler(
+            7, scales=[0.25], pooler_type="ROIPool", roi_align_kernel="fused",
+            mrrp_on=True, mrrp_num_branch=n_br,
+        )
+        dan = DiscriminativeAdaptationNeck(fc_dims=(16,))
+        chunks, unsort = pooler.fused_chunk_pool(
+            [feat], rois, obj, valid, train=False, level_ids=level_ids
+        )
+        assert chunks is not None and unsort is not None
+        params = dan.init(jax.random.PRNGKey(0), chunks, train=False)
+        got = np.asarray(dan.apply(params, chunks, train=False))
+        got = np.take_along_axis(got, np.asarray(unsort)[:, :, None], 1)
+
+        branch = (level_ids // 1000) % n_br
+        per_img = []
+        for bi in range(b):
+            pooled_all = jnp.stack(
+                [roi_pool(feat[br * b + bi], rois[bi], 7, 0.25) for br in range(n_br)]
+            )
+            sel = branch[bi][None, :, None, None, None]
+            per_img.append(jnp.take_along_axis(pooled_all, sel, axis=0)[0])
+        pooled = jnp.stack(per_img)
+        gate = ((obj + 1.0) * valid).astype(pooled.dtype)
+        pooled = pooled * gate[:, :, None, None, None]
+        want = np.asarray(dan.apply(params, pooled, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    finally:
+        rpf._INTERPRET = False
