@@ -405,16 +405,17 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
         for r, vals in enumerate(regions):
             gated = (vals.astype(jnp.float32) * gate).astype(out_ref.dtype)
             # partial from the ROUNDED payload so the precomputed scale is
-            # bit-identical to an XLA maxabs over the emitted chunk
+            # bit-identical to an XLA maxabs over the emitted chunk; stored
+            # as a [1, CT] row (rank-2 keeps Mosaic's store path happy)
             part = jnp.max(
-                jnp.max(jnp.abs(gated.astype(jnp.float32)), axis=0), axis=0
-            )  # [CT]
+                jnp.abs(gated.astype(jnp.float32)), axis=(0, 1), keepdims=True
+            )[0]  # [1, CT]
             if triple:
                 out_ref[r, 0, :, :, i] = gated
-                scale_ref[r, 0, 0, i] = part
+                scale_ref[r, 0, 0, pl.ds(i, 1)] = part
             else:
                 out_ref[0, :, :, i] = gated
-                scale_ref[0, 0, i] = part
+                scale_ref[0, 0, pl.ds(i, 1)] = part
         return
     if quant == "int8":
         for r, vals in enumerate(regions):
