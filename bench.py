@@ -68,7 +68,6 @@ def main():
     }
     emb = jnp.asarray(rng.randn(80, 512).astype(np.float32))
 
-    model = build_model(cfg)
     # init on tiny shapes (params depend only on channel dims), run on full
     init_boxes = boxes[:, :16] * (128.0 / W)
     init_batch = {
@@ -78,20 +77,50 @@ def main():
         "sam_scores": batch["sam_scores"][:1, :16],
         "sam_valid": batch["sam_valid"][:1, :16],
     }
-    params = jax.jit(
-        lambda: model.init(
-            {"params": jax.random.PRNGKey(0)}, init_batch, train=False, embeddings=emb
-        )
-    )()
 
-    @jax.jit
-    def infer(params, batch):
-        det, _, _ = model.apply(params, batch, train=False, embeddings=emb)
-        return det.boxes, det.scores, det.classes, det.valid
+    def build_and_warm():
+        model = build_model(cfg)
+        params = jax.jit(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0)}, init_batch, train=False,
+                embeddings=emb,
+            )
+        )()
 
-    # warmup / compile
-    out = infer(params, batch)
-    jax.block_until_ready(out)
+        @jax.jit
+        def infer(params, batch):
+            det, _, _ = model.apply(params, batch, train=False, embeddings=emb)
+            return det.boxes, det.scores, det.classes, det.valid
+
+        out = infer(params, batch)  # warmup / compile
+        jax.block_until_ready(out)
+        return infer, params
+
+    # fallback ladder: if a fused-path variant fails to lower/compile on
+    # this chip, step down to a proven configuration rather than dying —
+    # the bench must always report a number (each rung re-traces, picking
+    # up the env toggles fused_chunk_pool reads)
+    rungs = [
+        {},
+        {"WSOVOD_NO_POOL_MAXABS": "1"},
+        {"WSOVOD_NO_POOL_CLS": "1"},
+        {"TPU.ROI_ALIGN_KERNEL": "pallas"},
+    ]
+    infer = params = None
+    for i, rung in enumerate(rungs):
+        try:
+            for k, v in rung.items():
+                if k.startswith("TPU."):
+                    cfg.TPU.ROI_ALIGN_KERNEL = v
+                else:
+                    os.environ[k] = v
+            infer, params = build_and_warm()
+            break
+        except Exception as e:  # noqa: BLE001 - deliberate rung step-down
+            if i == len(rungs) - 1:
+                raise
+            print(f"bench rung {i} failed ({type(e).__name__}: {e}); "
+                  f"stepping down", file=sys.stderr, flush=True)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
