@@ -636,10 +636,17 @@ def test_fused_pool_width_class_sorted(quant):
         pool_width_classes,
     )
 
-    feat, rois, gate = _mk(19, h=18, w=56, c=128)
-    cls = pool_width_classes(rois, 0.25, 56)
-    # all three classes must be present for the test to mean anything
-    assert set(np.unique(np.asarray(cls)[np.asarray(gate) > 0])) == {0, 1, 2}
+    feat, rois, gate = _mk(19, h=18, w=104, c=128)
+    # spread widths across every class: narrow (<=17), 48 (<=41), 96 (<=89),
+    # full-row
+    widths = np.array([30.0, 120.0, 280.0, 400.0]).repeat(6)[:24]
+    r = np.array(rois, copy=True)
+    r[:, :, 2] = np.minimum(r[:, :, 0] + widths[None], 4 * 104 - 1)
+    rois = jnp.asarray(r)
+    cls = pool_width_classes(rois, 0.25, 104)
+    present = set(np.unique(np.asarray(cls)[np.asarray(gate) > 0]))
+    # every class must be exercised for the test to mean anything
+    assert present == set(range(len(POOL_WIN_CLASSES))), present
     boxes_s, gate_s, key_s, unsort = branch_partition(
         rois, gate, cls, len(POOL_WIN_CLASSES)
     )

@@ -68,8 +68,8 @@ LOOP_WIN = 96  # narrow x-window for ROILoopPool (covers the 1.8x outer box)
 # width classes for class-SORTED plain pooling (one static-window branch per
 # 8-ROI block): (x-window px, stage-B one-hot candidates per bin); the last
 # (None) class is the full-row wide path. Class c covers rw <= w_sl - 7
-# (8-alignment slop); j_cap = (w_sl - 8) // 7 + 2 candidate columns.
-POOL_WIN_CLASSES = ((24, 4), (48, 8), (None, None))
+# (8-alignment slop); j_cap = ceil((w_sl - 7) / p) + 1 candidate columns.
+POOL_WIN_CLASSES = ((24, 4), (48, 8), (96, 16), (None, None))
 
 # scalar-prefetch SMEM budget for the per-ROI tables (the hardware bank is
 # 1 MB; headroom for the other scalar operands). Oversized tables B-split.
