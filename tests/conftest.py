@@ -46,3 +46,18 @@ def pytest_collection_modifyitems(items):
             item.add_marker(pytest.mark.integration)
         else:
             item.add_marker(pytest.mark.unit)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Monolithic full-suite runs segfault XLA:CPU's JIT after ~175 compiled
+    programs accumulate in one process (observed twice, deterministic;
+    tier-split runs are unaffected). Dropping the compiled-executable caches
+    between modules keeps the JIT footprint bounded."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
