@@ -79,13 +79,18 @@ def cmd_folder(args):
 
 
 def cmd_names(args):
-    """words file lines: '<synset>\t<name1, name2, ...>'."""
+    """words file lines: '<synset>: <name1, name2, ...>' (the format of the
+    bundled ``ilsvrc2012_classes_name.txt``, public ImageNet-1k metadata,
+    reference ``tools/convert_ilsvrc_classes_name.py:12-16``) or the
+    tab-separated WordNet ``words.txt`` form."""
     mapping = {}
     with open(args.words) as f:
         for line in f:
-            parts = line.strip().split("\t")
+            parts = (
+                line.split(":", 1) if ":" in line else line.strip().split("\t")
+            )
             if len(parts) == 2:
-                mapping[parts[0]] = parts[1].split(",")[0].strip()
+                mapping[parts[0].strip()] = parts[1].split(",")[0].strip()
     with open(args.json) as f:
         coco = json.load(f)
     for cat in coco["categories"]:
