@@ -107,6 +107,34 @@ def main():
     o_bf = timeit("fc1 bf16 (4x512 chunks)", run_bf16, chunks, w_bf, bias_j)
     o_i8 = timeit("fc1 int8 per-row dyn    ", run_int8, chunks, w_i8, s_w, bias_j)
 
+    # int4 probe: does v5e run int4 x int4 dot_general above the int8 rate?
+    # (Trillium has native int4; on v5e this may upcast and win nothing —
+    # measure before building a real int4 fc1 path.)
+    try:
+        w_i4 = jnp.clip(jnp.round(jnp.asarray(w) / (s_w * 8.0)[None, :]), -7, 7).astype(jnp.int4)
+        x_i4 = jnp.clip(jnp.round(chunks[0].astype(jnp.float32) * 2.0), -7, 7).astype(jnp.int4)
+
+        @jax.jit
+        def run_int4(x4, w4):
+            out = None
+            xx = x4
+            for _ in range(reps):
+                acc = None
+                for i in range(4):
+                    y = jax.lax.dot_general(
+                        xx, w4[i * K1 : (i + 1) * K1],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = y if acc is None else acc + y
+                out = acc
+                xx = (x4.astype(jnp.int32) + (out[0, 0] * 0)).astype(jnp.int4)
+            return out
+
+        timeit("fc1 int4 x int4 probe   ", run_int4, x_i4, w_i4)
+    except Exception as e:  # int4 may not lower on this backend at all
+        print(f"int4 probe failed: {type(e).__name__}: {e}")
+
     a = np.asarray(o_bf[:4096].astype(jnp.float32))
     b = np.asarray(o_i8[:4096].astype(jnp.float32))
     denom = np.abs(a).max()

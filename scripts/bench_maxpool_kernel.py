@@ -55,14 +55,14 @@ def timeit(name, fn, *args):
     print(f"{name}: {(time.perf_counter()-t0)/iters*1000:.2f} ms", flush=True)
 
 
-def pool_only(ct, loop=False, quant="none", cls=False):
+def pool_only(ct, loop=False, quant="none", cls=False, c_tile=None):
     @jax.jit
     def f(feat, rois, gate, cls_tbl=None):
         acc = None
         for cb in range(0, C, ct):
             r = roi_pool_fused_batched(
                 feat, rois, gate, cb, c_take=ct, spatial_scale=scale,
-                loop_pool=loop, quant=quant, cls_tbl=cls_tbl,
+                loop_pool=loop, quant=quant, cls_tbl=cls_tbl, c_tile=c_tile,
             )
             x = r[0] if quant in ("int8", "maxabs") else r
             v = x[tuple(0 for _ in x.shape)].astype(jnp.float32)
@@ -130,7 +130,14 @@ if mode in ("align", "all"):
     timeit("align    bf16 ct512 (pool-only)", align_only, feat, rois, gate)
 if mode in ("loop", "all"):
     timeit("looppool bf16 ct256 (pool-only)", pool_only(256, loop=True), feat, rois, gate)
+    timeit("looppool maxabs ct256 (pool-only)", pool_only(256, loop=True, quant="maxabs"), feat, rois, gate)
     timeit("looppool int8 ct256 (pool-only)", pool_only(256, loop=True, quant="int8"), feat, rois, gate)
+    # ct512 A/B (TODO lever: half the per-ROI overhead, 2x the band VMEM) —
+    # may fail to fit at this H/W; a failure here is an answer, not a bug
+    try:
+        timeit("looppool bf16 ct512 (pool-only)", pool_only(512, loop=True, c_tile=512), feat, rois, gate)
+    except Exception as e:
+        print(f"looppool ct512: failed ({type(e).__name__})", flush=True)
 if mode in ("chain", "all"):
     timeit("roipool->fc1 bf16 (chain)", chain(512), feat, rois, gate, kern)
     timeit("roipool->fc1 int8 (chain)", chain(512, quant="int8"), feat, rois, gate, kern)

@@ -66,6 +66,7 @@ step bench_pool python scripts/bench_maxpool_kernel.py pool
 step bench_loop python scripts/bench_maxpool_kernel.py loop
 step bench_chain python scripts/bench_maxpool_kernel.py chain
 step bench_rpn_conv python scripts/bench_rpn_conv.py
+step bench_fc1_int4 python scripts/bench_fc1.py
 
 # 3. full bench: shipped flagship (ROIPool + int8 fc1), then variants
 step bench_roipool python bench.py

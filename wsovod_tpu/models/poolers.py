@@ -221,8 +221,16 @@ class ROIPooler:
         boxes = jnp.where(valid[..., None], boxes, 0.0).astype(jnp.float32)
         # chunk width = the kernel's native c_tile so downstream int8 scales
         # are per-(ROI, chunk); 512 measured fastest at C=2048 (loop pool:
-        # 256, its two extra band buffers halve the VMEM budget)
-        c_unit = 256 if self.pooler_type == "ROILoopPool" else 512
+        # 256, its two extra band buffers halve the VMEM budget).
+        # WSOVOD_POOL_CT overrides both for on-hardware A/B (e.g. loop-pool
+        # 512 at eval resolutions, where the resident tile is small).
+        import os as _os
+
+        _ct_env = _os.environ.get("WSOVOD_POOL_CT")
+        if _ct_env:
+            c_unit = int(_ct_env)
+        else:
+            c_unit = 256 if self.pooler_type == "ROILoopPool" else 512
         c_take = c_unit if c % c_unit == 0 else c
 
         b = boxes.shape[0]
@@ -286,6 +294,11 @@ class ROIPooler:
         )
         ncls = len(POOL_WIN_CLASSES)
         quant_kw = {"quant": "maxabs"} if use_maxabs else {}
+
+        if _ct_env and c_take % c_unit == 0:
+            # force the kernel tile to the A/B chunk width too (its internal
+            # heuristic would otherwise re-split a wider chunk)
+            quant_kw["c_tile"] = c_unit
 
         def call_batched(boxes_k, gate_k, cb, **kw):
             r = roi_pool_fused_batched(
