@@ -102,8 +102,6 @@ def main():
     # up the env toggles fused_chunk_pool reads)
     rungs = [
         {},
-        {"WSOVOD_NO_POOL_MAXABS": "1"},
-        {"WSOVOD_NO_POOL_CLS": "1"},
         {"TPU.ROI_ALIGN_KERNEL": "pallas"},
     ]
     infer = params = None

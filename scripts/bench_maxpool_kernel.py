@@ -115,6 +115,7 @@ if mode == "smoke":
 
 if mode in ("pool", "all"):
     timeit("roipool  bf16 ct512 (pool-only)", pool_only(512), feat, rois, gate)
+    timeit("roipool  maxabs ct512 (pool-only)", pool_only(512, quant="maxabs"), feat, rois, gate)
     timeit("roipool  bf16 ct512 CLS-SORTED", pool_only(512, cls=True), feat, rois, gate)
     timeit("roipool  maxabs ct512 CLS-SORTED", pool_only(512, quant="maxabs", cls=True), feat, rois, gate)
     timeit("roipool  int8 ct512 (pool-only)", pool_only(512, quant="int8"), feat, rois, gate)

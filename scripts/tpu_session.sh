@@ -72,8 +72,10 @@ step bench_fc1_int4 python scripts/bench_fc1.py
 step bench_roipool python bench.py
 step bench_roipool_rpnq env BENCH_RPN_QUANT=int8 python bench.py
 step bench_roialign env BENCH_POOLER=ROIAlignV2 python bench.py
-# A/B the round-3c lever defaults (skip if short on tunnel time)
-step bench_no_cls env WSOVOD_NO_POOL_CLS=1 python bench.py
-step bench_no_maxabs env WSOVOD_NO_POOL_MAXABS=1 python bench.py
+# A/B the (now opt-in) round-3c levers (skip if short on tunnel time);
+# measured 2026-08-18: cls-sort 9.4 img/s (dead end), maxabs 18.80 vs
+# 19.19 without -> both default OFF
+step bench_pool_cls env WSOVOD_POOL_CLS=1 python bench.py
+step bench_pool_maxabs env WSOVOD_POOL_MAXABS=1 python bench.py
 
 echo "=== session done; logs in $OUT"

@@ -40,6 +40,7 @@ def _cfg():
     cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_DIM = 16
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.DAN_FC1_QUANT = "none"  # golden pins the full-precision path
+    cfg.TPU.RPN_CONV_QUANT = "none"
     return cfg
 
 

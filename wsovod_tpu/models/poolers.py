@@ -274,23 +274,25 @@ class ROIPooler:
         import os
 
         loop = self.pooler_type == "ROILoopPool"
-        # inference + int8 fc1: emit (chunk, per-ROI maxabs) pairs
-        # (WSOVOD_NO_POOL_MAXABS=1 reverts to the in-DAN maxabs reduce, for
-        # perf A/B on hardware)
+        # maxabs-partial emission measured a net LOSS end-to-end on v5e
+        # (2026-08-18 session): +9.5 ms in-kernel (92.0 -> 101.5 pool-only)
+        # vs ~10 ms saved in the XLA quantize pass, bench 18.80 vs 19.19
+        # img/s without. Default OFF; WSOVOD_POOL_MAXABS=1 re-enables for
+        # A/B on other backends/shapes.
         use_maxabs = (
             (not train)
             and self.fc1_quant == "int8"
-            and not os.environ.get("WSOVOD_NO_POOL_MAXABS")
+            and bool(os.environ.get("WSOVOD_POOL_MAXABS"))
         )
-        # inference plain pool: sort ROIs into width-class-pure blocks so the
-        # kernel runs each block at its cheapest static window (the sort and
-        # the fc-output unsort are ~1 ms; resorting the pooled tensor would
-        # be ~100x). Training keeps the per-ROI narrow/wide AD path.
-        # (WSOVOD_NO_POOL_CLS=1 reverts to per-ROI narrow/wide, for A/B.)
+        # Width-class-sorted blocks measured a DEAD END on v5e (2026-08-18
+        # session): pool-only 300 ms vs 92 plain, bench 9.4 vs 18.8 img/s —
+        # Mosaic keeps all three class bodies live per block instead of
+        # branching. Default OFF; WSOVOD_POOL_CLS=1 re-enables for A/B on
+        # other backends. Training keeps the per-ROI narrow/wide AD path.
         use_cls = (
             (not train)
             and not loop
-            and not os.environ.get("WSOVOD_NO_POOL_CLS")
+            and bool(os.environ.get("WSOVOD_POOL_CLS"))
         )
         ncls = len(POOL_WIN_CLASSES)
         quant_kw = {"quant": "maxabs"} if use_maxabs else {}
