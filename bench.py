@@ -57,8 +57,33 @@ def main():
     S = 4000  # SAM proposal budget (PRECOMPUTED_PROPOSAL_TOPK_TEST)
 
     rng = np.random.RandomState(0)
+    # SAM-AMG-like long-tail box mix (VERDICT r3 #5 — the old all-U(8,300)
+    # distribution never exercised the kernel's wide full-row path):
+    # 80% U(8,300) px, 15% U(300,700), 5% near-image-scale (crop-layer
+    # masks). BENCH_ROI_DIST=narrow restores the old distribution for A/B.
+    if os.environ.get("BENCH_ROI_DIST", "mixed") == "narrow":
+        wh = rng.uniform(8, 300, (B, S, 2))
+    else:
+        u = rng.rand(B, S, 1)
+        wh = np.where(
+            u < 0.80,
+            rng.uniform(8, 300, (B, S, 2)),
+            np.where(
+                u < 0.95,
+                rng.uniform(300, 700, (B, S, 2)),
+                np.stack(
+                    [rng.uniform(0.7, 1.0, (B, S)) * W,
+                     rng.uniform(0.7, 1.0, (B, S)) * H], -1
+                ),
+            ),
+        )
     boxes = rng.uniform(0, W * 0.6, (B, S, 2))
-    boxes = np.concatenate([boxes, boxes + rng.uniform(8, 300, (B, S, 2))], -1)
+    boxes = np.concatenate([boxes, boxes + wh], -1)
+    boxes[..., [0, 2]] = boxes[..., [0, 2]].clip(0, W)
+    boxes[..., [1, 3]] = boxes[..., [1, 3]].clip(0, H)
+    # report the narrow/wide block split at the pool kernel's stride-8 grid
+    rw = np.floor(boxes[..., 2] / 8 + 0.5) - np.floor(boxes[..., 0] / 8 + 0.5) + 1
+    narrow_frac = float((rw <= 41).mean())
     batch = {
         "images": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
         "image_sizes": jnp.asarray(np.array([[H, W]] * B, np.int32)),
@@ -130,11 +155,16 @@ def main():
     img_per_sec = B * iters / dt
     pooler = cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE
     print(
+        f"bench ROI mix: {narrow_frac * 100:.1f}% narrow (rw<=41) / "
+        f"{(1 - narrow_frac) * 100:.1f}% wide",
+        file=sys.stderr, flush=True,
+    )
+    print(
         json.dumps(
             {
                 "metric": (
                     "images/sec/chip WSR-50-DC5 inference "
-                    f"(688px, 4000 proposals, {pooler})"
+                    f"(688px, 4000 mixed-size proposals, {pooler})"
                 ),
                 "value": round(img_per_sec, 3),
                 "unit": "images/sec",

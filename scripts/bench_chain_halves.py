@@ -67,7 +67,7 @@ def chain_halves(feat, rois, gate, kern):
     accs = [None, None]
     for cb in range(0, C, CT):
         ks = jax.lax.slice_in_dim(kern, cb, cb + CT, axis=2)
-        for hi, sl in enumerate((slice(0, 4), slice(4, 8))):
+        for hi, sl in enumerate((slice(0, B // 2), slice(B // 2, B))):
             r = roi_pool_fused_batched(
                 feat[sl], rois[sl], gate[sl], cb, c_take=CT, spatial_scale=scale
             )

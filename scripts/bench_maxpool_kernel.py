@@ -65,7 +65,13 @@ def pool_only(ct, loop=False, quant="none", cls=False, c_tile=None):
                 loop_pool=loop, quant=quant, cls_tbl=cls_tbl, c_tile=c_tile,
             )
             x = r[0] if quant in ("int8", "maxabs") else r
-            v = x[tuple(0 for _ in x.shape)].astype(jnp.float32)
+            # touch BOTH batch extremes: a single-scalar probe lets XLA
+            # dead-code-eliminate half the work through a B-split+concat
+            # (exactly how the round-3 "92 ms pool-only" halved the truth)
+            v = (
+                x[tuple(0 for _ in x.shape)].astype(jnp.float32)
+                + x[tuple(-1 for _ in x.shape)].astype(jnp.float32)
+            )
             acc = v if acc is None else acc + v
         return acc
 

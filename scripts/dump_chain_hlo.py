@@ -17,7 +17,12 @@ feat = jax.ShapeDtypeStruct((B, 86, 132, C), jnp.bfloat16)
 rois = jax.ShapeDtypeStruct((B, N, 4), jnp.float32)
 gate = jax.ShapeDtypeStruct((B, N), jnp.float32)
 kern = jax.ShapeDtypeStruct((7, 7, C, F), jnp.bfloat16)
-pre = jax.ShapeDtypeStruct((B, 7, 7, N, CT), jnp.bfloat16)
+# four distinct chunk inputs so 'plain' mirrors the chain's dataflow — one
+# shared operand lets XLA fuse/schedule the repeated read differently
+pres = [
+    jax.ShapeDtypeStruct((B, 7, 7, N, CT), jnp.bfloat16)
+    for _ in range(C // CT)
+]
 
 
 def chain(feat, rois, gate, kern):
@@ -30,11 +35,13 @@ def chain(feat, rois, gate, kern):
     return acc
 
 
-def plain(pre, kern):
+def plain(pres, kern):
     acc = None
-    for cb in range(0, C, CT):
+    for i, cb in enumerate(range(0, C, CT)):
         ks = jax.lax.slice_in_dim(kern, cb, cb + CT, axis=2)
-        y = jnp.einsum("bhwnc,hwcf->bnf", pre, ks, preferred_element_type=jnp.float32)
+        y = jnp.einsum(
+            "bhwnc,hwcf->bnf", pres[i], ks, preferred_element_type=jnp.float32
+        )
         acc = y if acc is None else acc + y
     return acc
 
@@ -43,7 +50,7 @@ which = sys.argv[1] if len(sys.argv) > 1 else "chain"
 if which == "chain":
     txt = jax.jit(chain).lower(feat, rois, gate, kern).compile().as_text()
 else:
-    txt = jax.jit(plain).lower(pre, kern).compile().as_text()
+    txt = jax.jit(plain).lower(pres, kern).compile().as_text()
 out = f"/tmp/hlo_{which}.txt"
 with open(out, "w") as f:
     f.write(txt)

@@ -2,7 +2,6 @@
 evaluation through the full test_WSL driver. Everything tiny, CPU."""
 
 import os
-import pickle
 
 import numpy as np
 import pytest
@@ -11,60 +10,14 @@ import jax
 import jax.numpy as jnp
 
 from wsovod_tpu.config import get_cfg
-from wsovod_tpu.data.catalog import DatasetCatalog, MetadataCatalog
 
 
 @pytest.fixture(scope="module")
 def synth_dataset(tmp_path_factory):
-    import cv2
+    from synth_data import make_synth_dataset
 
     root = tmp_path_factory.mktemp("synth")
-    (root / "imgs").mkdir()
-    rng = np.random.RandomState(0)
-    dicts = []
-    ids, pboxes, pscores = [], [], []
-    for i in range(6):
-        h, w = 72, 96
-        img = rng.randint(0, 120, (h, w, 3), np.uint8)
-        # paint a bright "object"
-        x1, y1 = rng.randint(5, 30), rng.randint(5, 20)
-        x2, y2 = x1 + rng.randint(20, 40), y1 + rng.randint(20, 35)
-        img[y1:y2, x1:x2] = [250, 120, 30]
-        path = str(root / "imgs" / f"{i}.jpg")
-        cv2.imwrite(path, img)
-        dicts.append(
-            {
-                "file_name": path,
-                "image_id": i,
-                "height": h,
-                "width": w,
-                "annotations": [
-                    {"category_id": i % 2, "bbox": [x1, y1, x2, y2], "bbox_mode": "xyxy"}
-                ],
-            }
-        )
-        ids.append(i)
-        # proposals: the gt box + jittered + random
-        base = np.array([[x1, y1, x2, y2]], np.float32)
-        jit = base + rng.uniform(-4, 4, (6, 4)).astype(np.float32)
-        rand = rng.uniform(0, 50, (5, 2))
-        rand = np.concatenate([rand, rand + rng.uniform(10, 30, (5, 2))], 1).astype(
-            np.float32
-        )
-        pboxes.append(np.concatenate([base, jit, rand]))
-        pscores.append(rng.uniform(0.5, 1.0, 12).astype(np.float32))
-
-    prop_path = str(root / "props.pkl")
-    with open(prop_path, "wb") as f:
-        pickle.dump({"indexes": ids, "boxes": pboxes, "scores": pscores}, f)
-
-    name = "_e2e_synth"
-    if name not in DatasetCatalog.list():
-        DatasetCatalog.register(name, lambda: dicts)
-        MetadataCatalog.get(name).set(
-            thing_classes=["red", "blue"], year=2007, evaluator_type="pascal_voc"
-        )
-    return name, prop_path
+    return make_synth_dataset(root, "_e2e_synth", evaluator_type="pascal_voc")
 
 
 def _cfg(name, prop_path):
@@ -164,6 +117,59 @@ def test_train_steps_and_eval(synth_dataset):
     res = results[name]["bbox"]
     assert "AP50" in res and "CorLoc50" in res
     assert np.isfinite(res["AP50"])
+
+
+def test_vis_period_and_vis_test_dumps(synth_dataset, tmp_path):
+    """VIS_PERIOD / VIS_TEST wiring (reference roi_heads.py:1345-1564):
+    the train step's sown pseudo-GT renders to PNGs and the eval path dumps
+    per-image proposal .npy files."""
+    name, prop_path = synth_dataset
+    cfg = _cfg(name, prop_path)
+    cfg.VIS_PERIOD = 1
+    cfg.VIS_TEST = True
+    cfg.OUTPUT_DIR = str(tmp_path)
+
+    from wsovod_tpu.data.loader import build_detection_train_loader
+    from wsovod_tpu.engine.evaluator import test_WSL
+    from wsovod_tpu.engine.train_loop import create_train_state, make_train_step
+    from wsovod_tpu.engine.trainer import WSOVODTrainer
+    from wsovod_tpu.models import build_model
+    from wsovod_tpu.solver.build import build_optimizer
+
+    model = build_model(cfg)
+    loader = build_detection_train_loader(cfg)
+    batch = next(loader)
+    keys = ("images", "image_sizes", "sam_boxes", "sam_scores", "sam_valid",
+            "gt_classes", "gt_valid")
+    device_batch = {k: jnp.asarray(batch[k]) for k in keys}
+    emb = jnp.asarray(np.random.RandomState(1).randn(2, 8).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        device_batch, train=True, iteration=jnp.asarray(0, jnp.int32),
+        rng=jax.random.PRNGKey(2), embeddings=emb,
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    state = create_train_state(variables, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, tx, with_vis=True)
+    state, metrics, vis = step(state, device_batch, emb)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # the sown pgt reaches the host-side renderer and produces PNGs
+    class _T:
+        pass
+
+    t = _T()
+    t.cfg = cfg
+    WSOVODTrainer._dump_vis(t, 0, device_batch, vis)
+    import glob
+
+    pngs = glob.glob(os.path.join(cfg.OUTPUT_DIR, "vis_pgt*", "*.png"))
+    assert pngs, "VIS_PERIOD produced no pseudo-GT PNGs"
+
+    # VIS_TEST: eval dumps per-image proposal npy pairs
+    test_WSL(cfg, model, state.params, embeddings=emb)
+    npys = glob.glob(os.path.join(cfg.OUTPUT_DIR, "proposals_test", "*.npy"))
+    assert npys, "VIS_TEST produced no proposal npy dumps"
 
 
 def test_param_group_labels(synth_dataset):

@@ -43,11 +43,15 @@ def inference_on_dataset(
     embeddings=None,
     classifier=None,
     eval_proposals: bool = False,
+    vis_test_dir: Optional[str] = None,
 ) -> Dict:
     """Feed every batch through the jitted forward; evaluator consumes
     host-side rescaled results. With ``eval_proposals`` the model's post-NMS
     proposal set is also routed to the evaluator (proposal-recall AR branch,
-    reference ``coco_evaluation.py:172-173``)."""
+    reference ``coco_evaluation.py:172-173``). ``vis_test_dir`` dumps each
+    image's proposal boxes/scores as .npy there (VIS_TEST, reference
+    ``roi_heads.py:1528-1564`` ``_save_proposal_test``)."""
+    want_props = eval_proposals or vis_test_dir is not None
 
     @jax.jit
     def forward(params, batch):
@@ -57,9 +61,9 @@ def inference_on_dataset(
             train=False,
             embeddings=embeddings,
             classifier=classifier,
-            return_proposals=eval_proposals,
+            return_proposals=want_props,
         )
-        if eval_proposals:
+        if want_props:
             det, _, _, props = out
             return det, props
         det, _, _ = out
@@ -90,12 +94,19 @@ def inference_on_dataset(
             evaluator.process(
                 batch["image_id"][i], boxes, det.scores[i][v], det.classes[i][v]
             )
-            if props is not None and hasattr(evaluator, "process_proposals"):
+            if props is not None:
                 pb, po, pv = props[0][i], props[1][i], props[2][i]
                 pb = pb[pv] * np.array([sx, sy, sx, sy])
                 pb[:, 0::2] = np.clip(pb[:, 0::2], 0, orig_sizes[i][1])
                 pb[:, 1::2] = np.clip(pb[:, 1::2], 0, orig_sizes[i][0])
-                evaluator.process_proposals(batch["image_id"][i], pb, po[pv])
+                if eval_proposals and hasattr(evaluator, "process_proposals"):
+                    evaluator.process_proposals(batch["image_id"][i], pb, po[pv])
+                if vis_test_dir is not None:
+                    from ..utils.visualization import save_proposals_npy
+
+                    save_proposals_npy(
+                        vis_test_dir, batch["image_id"][i], pb, po[pv]
+                    )
 
     n_images = 0
     t0 = time.perf_counter()
@@ -155,6 +166,7 @@ def test_WSL(cfg, model, params, embeddings=None, classifier=None) -> Dict[str, 
             model, params, loader, evaluator, embeddings=embeddings,
             classifier=classifier,
             eval_proposals=cfg.TEST.EVAL_PROPOSALS,
+            vis_test_dir=cfg.OUTPUT_DIR if cfg.VIS_TEST else None,
         )
         logger.info("%s: %s", name, results[name])
     return results

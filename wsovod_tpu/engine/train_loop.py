@@ -44,9 +44,13 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     loss_scale: float = 1.0,
+    with_vis: bool = False,
     **apply_kwargs,
 ) -> Callable:
-    """Returns jitted ``(state, batch, embeddings) -> (state, metrics)``.
+    """Returns jitted ``(state, batch, embeddings) -> (state, metrics)``
+    (``-> (state, metrics, vis)`` when ``with_vis``: the ROI heads' sown
+    "vis" collection — the mined pseudo GT of the step, tiny [B, G, .]
+    arrays the trainer draws host-side every VIS_PERIOD iters).
 
     ``apply_kwargs`` are static extras forwarded to ``model.apply`` (e.g.
     ``source_id`` for the mixed-datasets meta-arch — one compiled step per
@@ -57,7 +61,7 @@ def make_train_step(
         rng, dropout_rng, model_rng = jax.random.split(rng, 3)
 
         def loss_fn(params):
-            losses = model.apply(
+            out = model.apply(
                 {"params": params},
                 batch,
                 train=True,
@@ -65,13 +69,15 @@ def make_train_step(
                 rng=model_rng,
                 embeddings=embeddings,
                 rngs={"dropout": dropout_rng},
+                mutable=["vis"] if with_vis else False,
                 **apply_kwargs,
             )
+            losses, vis = out if with_vis else (out, {})
             total = sum(jnp.asarray(v) for v in losses.values()) * loss_scale
-            return total, losses
+            return total, (losses, vis)
 
         params = state.params["params"] if "params" in state.params else state.params
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (total, (losses, vis)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, state.opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = {"total_loss": total, **losses}
@@ -81,8 +87,11 @@ def make_train_step(
             opt_state=opt_state,
             step=state.step + 1,
         )
+        if with_vis:
+            return new_state, metrics, vis
         return new_state, metrics
 
+    n_out = 3 if with_vis else 2
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -91,6 +100,6 @@ def make_train_step(
     return jax.jit(
         step_fn,
         in_shardings=(rep, data, rep),
-        out_shardings=(rep, rep),
+        out_shardings=(rep,) * n_out,
         donate_argnums=(0,),
     )

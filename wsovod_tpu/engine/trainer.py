@@ -91,7 +91,10 @@ class WSOVODTrainer:
                 ),
             },
         )
-        self.step_fn = make_train_step(self.model, self.tx, mesh=self.mesh)
+        self._with_vis = cfg.VIS_PERIOD > 0
+        self.step_fn = make_train_step(
+            self.model, self.tx, mesh=self.mesh, with_vis=self._with_vis
+        )
         self.storage = EventStorage(int(self.state.step))
         self.writers = [CommonMetricPrinter(cfg.SOLVER.MAX_ITER)]
         out = cfg.OUTPUT_DIR
@@ -112,7 +115,8 @@ class WSOVODTrainer:
         )
 
     def _run_step(self, state, device_batch, emb, host_batch):
-        return self.step_fn(state, device_batch, emb)
+        out = self.step_fn(state, device_batch, emb)
+        return out if self._with_vis else (*out, {})
 
     def _setup_sam_refine(self, cfg):
         """WSOVOD.BBOX_REFINE: build + import the SAM image encoder; the
@@ -220,7 +224,11 @@ class WSOVODTrainer:
             device_batch = to_global_batch(self._device_batch(batch), self.mesh)
             data_time = time.perf_counter() - data_t0
             with self.mesh:
-                state, metrics = self._run_step(state, device_batch, emb, batch)
+                state, metrics, vis = self._run_step(
+                    state, device_batch, emb, batch
+                )
+            if self._with_vis and (it + 1) % cfg.VIS_PERIOD == 0:
+                self._dump_vis(it, device_batch, vis)
             # fetch next batch while the step runs (async dispatch)
             batch = next(self.loader)
             data_t0 = time.perf_counter()
@@ -253,6 +261,39 @@ class WSOVODTrainer:
         for w in self.writers:
             w.close()
         return self.state
+
+    def _dump_vis(self, it, device_batch, vis):
+        """VIS_PERIOD pseudo-GT dump (reference roi_heads.py:1345-1425):
+        draw the step's mined pseudo GT over the (network-input) images and
+        write PNGs under OUTPUT_DIR/vis_pgt. Host-side; failures never kill
+        training."""
+        try:
+            pgt = None
+            for leaf in jax.tree_util.tree_leaves(
+                vis, is_leaf=lambda x: isinstance(x, dict) and "boxes" in x
+            ):
+                if isinstance(leaf, dict) and "boxes" in leaf:
+                    pgt = leaf
+                    break
+            if pgt is None:
+                return
+            pgt = jax.device_get(pgt)
+            images = np.asarray(jax.device_get(device_batch["images"]))
+            from ..utils.visualization import vis_pgt
+
+            for b in range(min(images.shape[0], 2)):
+                v = np.asarray(pgt["valid"][b]).astype(bool)
+                if not v.any():
+                    continue
+                vis_pgt(
+                    self.cfg.OUTPUT_DIR, "vis_pgt", f"_b{b}", it,
+                    images[b],
+                    np.asarray(pgt["boxes"][b])[v],
+                    scores=np.asarray(pgt["scores"][b])[v],
+                    classes=np.asarray(pgt["classes"][b])[v],
+                )
+        except Exception:
+            logger.exception("VIS_PERIOD dump failed at iter %d", it)
 
     def _eval_during_train(self, state):
         from .evaluator import test_WSL
@@ -306,7 +347,10 @@ class WSOVODTrainer_MixedDatasets(WSOVODTrainer):
         from .train_loop import make_train_step as _mts
 
         self._step_fns = {
-            sid: _mts(self.model, self.tx, mesh=self.mesh, source_id=sid)
+            sid: _mts(
+                self.model, self.tx, mesh=self.mesh, source_id=sid,
+                with_vis=self._with_vis,
+            )
             for sid in range(len(self.embeddings_list))
         }
 
@@ -314,4 +358,5 @@ class WSOVODTrainer_MixedDatasets(WSOVODTrainer):
         # homogeneous batch: every record shares dataset_id (reference
         # ``engine/trainer.py:253-255`` asserts this)
         sid = int(np.asarray(host_batch["dataset_id"]).reshape(-1)[0])
-        return self._step_fns[sid](state, device_batch, self.embeddings_list[sid])
+        out = self._step_fns[sid](state, device_batch, self.embeddings_list[sid])
+        return out if self._with_vis else (*out, {})

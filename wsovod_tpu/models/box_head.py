@@ -30,11 +30,14 @@ class ChunkedDenseGeneral(nn.Module):
 
     Chunk layouts: ``nhwc`` = ``[B, N, p, p, c_i]``; ``hwnc`` =
     ``[B, p, p, N, c_i]`` (or ``[3, B, p, p, N, c_i]`` for ROILoopPool's
-    triple rows) — the Pallas fused-pool output whose default physical layout
-    the einsum contracts copy-free on TPU.
+    triple rows) — Pallas fused-pool outputs the einsum contracts copy-free
+    on TPU; ``n56c`` = ``[(3,) B, N, 56, c_i]`` — the (ph, pw)-flattened,
+    zero-padded-to-56 layout of the kernels' sublane-aligned per-ROI store
+    (the fc1 kernel rows are padded to 56 with zeros to match; the pad rows
+    of both operands are zero, so the product is exact).
 
     A chunk may also be a ``(int8 payload, per-ROI scale)`` tuple — the
-    fused pooling kernels' pre-quantized emission (hwnc only): the int8 GEMM
+    fused pooling kernels' pre-quantized emission (hwnc/n56c): the int8 GEMM
     then runs directly on the payload with the activation scale applied to
     the int32 product, no quantize pass here."""
 
@@ -59,10 +62,24 @@ class ChunkedDenseGeneral(nn.Module):
             first.dtype if first.dtype != jnp.int8 else jnp.bfloat16
         )
         hwnc = self.chunk_layout == "hwnc"
+        n56c = self.chunk_layout == "n56c"
         if hwnc:
             eq = "rbhwnc,hwcf->rbnf" if len(first.shape) == 6 else "bhwnc,hwcf->bnf"
+        elif n56c:
+            eq = "rbnkc,kcf->rbnf" if len(first.shape) == 5 else "bnkc,kcf->bnf"
         else:
             eq = "...hwc,hwcf->...f"
+
+        def k_slice(c0, ci):
+            k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
+            if n56c:
+                # [p, p, ci, F] -> [p*8, ci, F]: row ph*8 + pw with the pw
+                # pad rows zero, matching the kernels' per-ROI store layout
+                # (both pads zero => the contraction is exact)
+                k = jnp.pad(k, ((0, 0), (0, 8 - p2), (0, 0), (0, 0)))
+                k = k.reshape(p1 * 8, ci, self.features)
+            return k
+
         acc = None
         c0 = 0
         for item in chunks:
@@ -71,7 +88,7 @@ class ChunkedDenseGeneral(nn.Module):
                 # pool -> partial-fc1 unit so the ~GB pooled chunk is
                 # recomputed in backward, never saved as an einsum residual
                 ci = item.shape[-1]
-                k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
+                k = k_slice(c0, ci)
 
                 def unit(k_c, item=item):
                     return jnp.einsum(
@@ -86,22 +103,24 @@ class ChunkedDenseGeneral(nn.Module):
             pre_q = isinstance(item, tuple)
             x = item[0] if pre_q else item
             ci = x.shape[-1]
-            k = jax.lax.slice_in_dim(kernel, c0, c0 + ci, axis=2)
+            k = k_slice(c0, ci)
+            w_red = (0, 1) if n56c else (0, 1, 2)
             if pre_q and x.dtype == jnp.int8:
                 # fused-kernel int8 payload + scale (gate folded into scale)
-                assert hwnc, "pre-quantized chunks are hwnc-layout only"
-                s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8) / 127.0
+                assert hwnc or n56c, "pre-quantized chunks are hwnc/n56c only"
+                s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=w_red), 1e-8) / 127.0
                 k_q = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
                 y = jnp.einsum(eq, x, k_q, preferred_element_type=jnp.int32)
                 y = y.astype(jnp.float32) * item[1][..., None] * s_w
             elif self.quant == "int8" or pre_q:
-                # per-ROI activation scale: reduce over (h, w, c), keep
-                # leading [(3,) B] and the N axis
-                red = (
-                    (x.ndim - 4, x.ndim - 3, x.ndim - 1)
-                    if hwnc
-                    else tuple(range(x.ndim - 3, x.ndim))
-                )
+                # per-ROI activation scale: reduce over the pooled dims,
+                # keep leading [(3,) B] and the N axis
+                if hwnc:
+                    red = (x.ndim - 4, x.ndim - 3, x.ndim - 1)
+                elif n56c:
+                    red = (x.ndim - 2, x.ndim - 1)
+                else:
+                    red = tuple(range(x.ndim - 3, x.ndim))
                 if pre_q:
                     # (float payload, per-ROI maxabs) from the pool kernels'
                     # quant='maxabs' emission: the full-chunk maxabs reduce
@@ -116,11 +135,13 @@ class ChunkedDenseGeneral(nn.Module):
                 x_q = jnp.clip(
                     jnp.round(x.astype(jnp.float32) / s_a), -127, 127
                 ).astype(jnp.int8)
-                s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=(0, 1, 2)), 1e-8) / 127.0
+                s_w = jnp.maximum(jnp.max(jnp.abs(k), axis=w_red), 1e-8) / 127.0
                 k_q = jnp.clip(jnp.round(k / s_w), -127, 127).astype(jnp.int8)
                 y = jnp.einsum(eq, x_q, k_q, preferred_element_type=jnp.int32)
                 if hwnc:
                     scale = jnp.squeeze(s_a, axis=(x.ndim - 4, x.ndim - 3))
+                elif n56c:
+                    scale = jnp.squeeze(s_a, axis=(x.ndim - 1,))
                 else:
                     scale = jnp.squeeze(
                         s_a, axis=tuple(range(x.ndim - 3, x.ndim - 1))
@@ -146,7 +167,14 @@ class DiscriminativeAdaptationNeck(nn.Module):
     fc1_quant: str = "none"  # "int8" = quantized fc1 at INFERENCE (chunked path)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, chunk_layout: str = "hwnc") -> jnp.ndarray:
+    def __call__(
+        self,
+        x,
+        *,
+        train: bool = False,
+        chunk_layout: str = "hwnc",
+        pooled_hw: Tuple[int, int] | None = None,  # required for "n56c"
+    ) -> jnp.ndarray:
         """x: [..., P, P, C] pooled features -> [..., fc_dims[-1]].
 
         ``x`` may also be a list/tuple of channel chunks (the fused
@@ -171,6 +199,11 @@ class DiscriminativeAdaptationNeck(nn.Module):
                     if chunk_layout == "hwnc":
                         # [(3,) B, p, p, N, c_i] (or int8-payload tuples)
                         p1, p2 = first.shape[-4], first.shape[-3]
+                    elif chunk_layout == "n56c":
+                        # [(3,) B, N, 56, c_i]: (p, p) not recoverable from
+                        # the padded row count — the caller supplies it
+                        assert pooled_hw is not None, "n56c needs pooled_hw"
+                        p1, p2 = pooled_hw
                     else:
                         p1, p2 = first.shape[-3:-1]
                     c_total = sum(

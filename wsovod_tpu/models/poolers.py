@@ -59,6 +59,18 @@ class ChunkThunk:
         return self.fn()
 
 
+class SegmentedChunks:
+    """Width-split fused pooling result: the ROI axis is partitioned into
+    contiguous segments (width-sorted), each with its own channel-chunk list
+    pooled at the smallest x-window covering it. The caller runs the DAN per
+    segment and concatenates the [B, P_seg, F] outputs along the ROI axis
+    (cheap) before applying ``unsort_idx`` — concatenating the pooled chunks
+    themselves would re-materialize the multi-GB tensor."""
+
+    def __init__(self, segments):
+        self.segments = segments  # list of per-segment chunk lists
+
+
 def branch_partition(
     boxes: jnp.ndarray,  # [B, N, 4]
     gate: jnp.ndarray,  # [B, N]
@@ -203,6 +215,10 @@ class ROIPooler:
         quantize at the COCO bench shape (v5e, see
         scripts/bench_maxpool_kernel.py extq)."""
         none = (None, None)
+        # layout of the chunks this call returns (read by the ROI heads to
+        # match the DAN's chunk_layout); the align kernel and the AD/train
+        # paths are hwnc, inference pool paths switch to n56c below
+        self.chunk_layout_used = "hwnc"
         if self.roi_align_kernel != "fused" or len(features) != 1:
             return none
         if self.pooler_type not in ("ROIPool", "ROILoopPool", "ROIAlignV2"):
@@ -284,6 +300,23 @@ class ROIPooler:
             and self.fc1_quant == "int8"
             and bool(os.environ.get("WSOVOD_POOL_MAXABS"))
         )
+        # tile8 (A/B, WSOVOD_POOL_TILE8=1): pre-quantize the feature chunk
+        # per image in XLA and run the WHOLE pool kernel in int8 — half the
+        # stage-A walk bytes, 2x int8 MXU gathers, half the payload HBM
+        # write, and NO separate fc1 quantize pass (the kernel's int8
+        # payload + folded gate*scale feed the int8 GEMM directly).
+        # Precision is per-(image, chunk) instead of per-(ROI, chunk) —
+        # guarded by tests/test_golden_eval_int8.py + module agreement.
+        use_tile8 = (
+            (not train)
+            and self.fc1_quant == "int8"
+            and not loop
+            and not mrrp
+            and self.pooler_type == "ROIPool"
+            and os.environ.get("WSOVOD_POOL_TILE8", "0") == "1"
+        )
+        if use_tile8:
+            use_maxabs = False
         # Width-class-sorted blocks measured a DEAD END on v5e (2026-08-18
         # session): pool-only 300 ms vs 92 plain, bench 9.4 vs 18.8 img/s —
         # Mosaic keeps all three class bodies live per block instead of
@@ -296,6 +329,29 @@ class ROIPooler:
         )
         ncls = len(POOL_WIN_CLASSES)
         quant_kw = {"quant": "maxabs"} if use_maxabs else {}
+        if use_tile8:
+            quant_kw = {"quant": "tile8"}
+        # n56c: the kernels' sublane-aligned per-ROI store layout
+        # [(3,) B, N, p*8, c_i]. Measured SLOWER than hwnc on v5e
+        # (202 vs 183 ms pool-only, both the 49-tail-pad and the free
+        # ph*8+pw row mapping) — the hwnc masked-sublane store is not the
+        # bottleneck the (DCE-contaminated) cheapstore ablation suggested.
+        # Default OFF; WSOVOD_POOL_N56C=1 re-enables for A/B on other
+        # toolchains. Inference only (the AD wrappers' custom VJPs are
+        # hwnc); maxabs partials are hwnc-only in the consumer.
+        use_n56c = (
+            (not train)
+            and not use_maxabs
+            and os.environ.get("WSOVOD_POOL_N56C", "0") == "1"
+        )
+        self.chunk_layout_used = "n56c" if use_n56c else "hwnc"
+        layout_kw = {"out_layout": "n56c"} if use_n56c else {}
+
+        def post_tile8(r):
+            # (payload int8, per-ROI scale [B, n_ct, N]) -> the
+            # ChunkedDenseGeneral pre-quantized contract (scale [B, N];
+            # every c-tile block holds the same folded gate*scale value)
+            return (r[0], r[1][:, 0]) if use_tile8 else r
 
         if _ct_env and c_take % c_unit == 0:
             # force the kernel tile to the A/B chunk width too (its internal
@@ -306,12 +362,13 @@ class ROIPooler:
             r = roi_pool_fused_batched(
                 feat, boxes_k, gate_k, cb, c_take=c_take,
                 output_size=self.output_size, spatial_scale=self.scales[0],
-                loop_pool=loop, context_ratio=1.8, **quant_kw, **kw,
+                loop_pool=loop, context_ratio=1.8, **quant_kw, **layout_kw,
+                **kw,
             )
             if use_maxabs:
                 # [(3,) B, n_ct, N, CT] partials -> [(3,) B, N] maxabs
                 return r[0], jnp.max(r[1], axis=(-3, -1))
-            return r
+            return post_tile8(r)
 
         if mrrp:
             n_br = feat.shape[0] // b
@@ -331,7 +388,7 @@ class ROIPooler:
             branch_s = key_s // ncls if use_cls else key_s
 
             def mk_branched(cb):
-                if use_maxabs or use_cls:
+                if use_maxabs or use_cls or not train:
                     kw = {"src_tbl": _branch_src_tbl(branch_s, b, 8)}
                     if use_cls:
                         kw["cls_tbl"] = (key_s % ncls)[:, ::8]
@@ -355,8 +412,56 @@ class ROIPooler:
 
             return emit(mk_plain_sorted, boxes_s.shape[1], loop), unsort_idx
 
+        # width-split plain pooling (inference): ROIs sorted by feature-grid
+        # width and split at a static 8-aligned boundary; the narrow segment
+        # pools with a 24-px x-window, the rest with the default 48. ROIs
+        # wider than a segment's window still take the kernel's exact
+        # full-row fallback, so the static split fraction only affects
+        # speed, never correctness. Measured a WASH end-to-end on v5e
+        # (15.50 vs 15.54 img/s mixed-dist; win24 vs win48 pool-only 176 vs
+        # 183 — the kernel cost is per-ROI stage-B/store dominated, not
+        # band-width) — default OFF; WSOVOD_POOL_WSPLIT=1 re-enables.
+        n_rois = boxes.shape[1]
+        use_wsplit = (
+            (not train)
+            and not loop
+            and self.pooler_type == "ROIPool"
+            and not use_maxabs
+            and not mrrp
+            and n_rois >= 256
+            and os.environ.get("WSOVOD_POOL_WSPLIT", "0") == "1"
+        )
+        if use_wsplit:
+            frac = float(os.environ.get("WSOVOD_POOL_WSPLIT_FRAC", "0.4"))
+            k_split = max(8, int(round(frac * n_rois / 8)) * 8)
+            if k_split < n_rois:
+                s_sc = self.scales[0]
+                rx1 = jnp.floor(boxes[..., 0] * s_sc + 0.5).astype(jnp.int32)
+                rx2 = jnp.floor(boxes[..., 2] * s_sc + 0.5).astype(jnp.int32)
+                rw = jnp.maximum(rx2 - rx1 + 1, 1)
+                # push gate-0 (invalid/pad) rows to the narrow segment: their
+                # zeroed boxes pool nothing either way
+                order = jnp.argsort(
+                    jnp.where(gate > 0, rw, -1), axis=1
+                ).astype(jnp.int32)
+                unsort_idx = jnp.argsort(order, axis=1).astype(jnp.int32)
+                boxes_w = jnp.take_along_axis(boxes, order[..., None], axis=1)
+                gate_w = jnp.take_along_axis(gate, order, axis=1)
+                segs = []
+                for sl, n_sl, win_sl in (
+                    (slice(0, k_split), k_split, 24),
+                    (slice(k_split, None), n_rois - k_split, 48),
+                ):
+                    def mk_seg(cb, sl=sl, win_sl=win_sl):
+                        return call_batched(
+                            boxes_w[:, sl], gate_w[:, sl], cb, win=win_sl
+                        )
+
+                    segs.append(emit(mk_seg, n_sl, False))
+                return SegmentedChunks(segs), unsort_idx
+
         def mk_plain(cb):
-            if use_maxabs:
+            if use_maxabs or use_tile8 or not train:
                 return call_batched(boxes, gate, cb)
             return roi_pool_fused_ad(
                 feat, boxes, gate, cb, c_take, self.output_size,

@@ -208,7 +208,26 @@ class WSOVODROIHeads(nn.Module):
             else (None, None)
         )
         if chunks is not None:
-            box_features = self.box_head(chunks, train=train)  # [(3,) B, P', F]
+            from .poolers import SegmentedChunks
+
+            layout_kw = dict(
+                chunk_layout=getattr(self.pooler, "chunk_layout_used", "hwnc"),
+                pooled_hw=(self.pooler.output_size, self.pooler.output_size),
+            )
+            if isinstance(chunks, SegmentedChunks):
+                # width-split segments: fc per segment, concat on the cheap
+                # [B, P_seg, F] outputs, then unsort below
+                box_features = jnp.concatenate(
+                    [
+                        self.box_head(s, train=train, **layout_kw)
+                        for s in chunks.segments
+                    ],
+                    axis=-2,
+                )
+            else:
+                box_features = self.box_head(
+                    chunks, train=train, **layout_kw
+                )  # [(3,) B, P', F]
             if unsort_idx is not None:
                 # MRRP branch-sorted rows -> proposal order (cheap on the
                 # [B, P, F] fc output; prohibitive on the pooled tensor)
@@ -389,6 +408,26 @@ class WSOVODROIHeads(nn.Module):
 
             prev_scores = jax.lax.stop_gradient(
                 nn.softmax(scores_k.astype(jnp.float32), axis=-1)
+            )
+
+        # VIS_PERIOD debug dumps (reference roi_heads.py:1345-1425): the last
+        # refinement round's mined pseudo GT is sown into the "vis" collection
+        # (tiny [B, G, .] arrays); the trainer fetches it every VIS_PERIOD
+        # iters and draws it host-side (utils/visualization.vis_pgt). sow is
+        # a no-op unless the caller applies with mutable=["vis"] — and must
+        # be skipped at init or the collection leaks into the param pytree
+        # (init makes every collection mutable) and breaks checkpoint
+        # templates.
+        if last_pgt is not None and not self.is_initializing():
+            self.sow(
+                "vis",
+                "pgt",
+                {
+                    "boxes": last_pgt.boxes,
+                    "classes": last_pgt.classes,
+                    "scores": last_pgt.scores,
+                    "valid": last_pgt.valid,
+                },
             )
 
         proposal_targets = None

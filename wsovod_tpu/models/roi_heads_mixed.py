@@ -146,6 +146,18 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
             prev_scores = jax.lax.stop_gradient(
                 nn.softmax(scores_k.astype(jnp.float32), axis=-1)
             )
+            if k == self.refine_k - 1 and not self.is_initializing():
+                # VIS_PERIOD dump hook (see roi_heads.py): last round's pgt
+                self.sow(
+                    "vis",
+                    "pgt",
+                    {
+                        "boxes": mine.boxes,
+                        "classes": mine.classes,
+                        "scores": mine.scores,
+                        "valid": mine.valid,
+                    },
+                )
 
         proposal_targets = None
         if self.rpn_on:

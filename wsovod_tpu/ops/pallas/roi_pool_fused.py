@@ -57,6 +57,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -3.0e38  # representable in bf16 and f32
+
+
+def _neg_for(dtype):
+    """Band/init fill for "empty" under max. Floats: NEG. int8 (the tile8
+    pre-quantized walk): -128 — quantized features clip to [-127, 127], so
+    -128 uniquely marks an empty bin (detected at <= -127.5 in f32)."""
+    if jnp.dtype(dtype) == jnp.int8:
+        return jnp.int8(-128)
+    return jnp.dtype(dtype).type(NEG)
+
+
 # narrow x-window (feature px) for plain ROIPool (covers rw <= 41 — every
 # ROI of the COCO bench distribution, keeping the narrow/wide branch
 # coherent). Measured at the bench shape (B8 x 5024 x 2048ch): win48 350 ms
@@ -148,12 +159,13 @@ def _pack_words(vals):
     return jnp.stack(words, axis=-1)
 
 
-def _unpack_words(meta_ref, base, n):
+def _unpack_words(load, base, n):
     """Kernel-side unpack of ``_pack_words``: 1 scalar SMEM load + 2
-    arithmetic shifts per value pair."""
+    arithmetic shifts per value pair. ``load`` maps a word index to the
+    int32 word (prefetched table or DMA'd per-image SMEM slab)."""
     vals = []
     for k in range((n + 1) // 2):
-        w_ = meta_ref[base + k]
+        w_ = load(base + k)
         vals.append((w_ << 16) >> 16)  # sign-extends
         vals.append(w_ >> 16)
     return vals[:n]
@@ -213,11 +225,11 @@ def _pack_loop_meta(rois, spatial_scale, p, h_lim, w_lim, context_ratio):
     return _pack_words(vals)
 
 
-def _unpack_region_meta(meta_ref, base, p, w_lim):
+def _unpack_region_meta(load, base, p, w_lim):
     """Kernel-side unpack of ``_pack_region_meta``'s words for one ROI:
     2 scalar SMEM loads + 2 shifts per value pair instead of the serialized
     float math of ``_region_meta``."""
-    vals = _unpack_words(meta_ref, base, 2 + 2 * p)
+    vals = _unpack_words(load, base, 2 + 2 * p)
     return _region_vals_to_meta(vals, p, w_lim)
 
 
@@ -228,19 +240,36 @@ def _region_vals_to_meta(vals, p, w_lim):
     return rx1, rw, hlo, hhi, functools.partial(_w_edges, rx1, rw, p, w_lim)
 
 
-def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile):
+def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile,
+                     n_unroll=None):
     """Stage A (narrow path): per-bin row fold with the running max as the
     ``fori`` CARRY — a [win, CT] bf16 value small enough for Mosaic to keep
     in vector registers, so each row costs ONE VMEM slab read instead of the
     read-modify-write triple of the in-place ``band[ph] = max(band[ph],
     row)`` form. Band is written once per bin (empty bins get the NEG init,
-    matching the in-place path's semantics)."""
-    neg = full_buf.dtype.type(NEG)
+    matching the in-place path's semantics).
+
+    ``n_unroll``: STATIC per-bin row cap — replaces the dynamic-trip fori
+    with a fully unrolled masked fold (``h = hlo + r`` clamped, masked by
+    ``h < hhi``). Correct only when every bin has <= n_unroll rows, i.e.
+    rh <= (n_unroll - 1) * p; callers with value-thresholded height splits
+    use it to eliminate the per-bin dynamic-loop overhead entirely."""
+    neg = _neg_for(full_buf.dtype)
+    h_cap = full_buf.shape[1] - 1
     for ph in range(p):
+        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        if n_unroll is not None:
+            acc = init
+            for r in range(n_unroll):
+                h = jnp.minimum(hlo[ph] + r, h_cap)
+                row = full_buf[0, h, pl.ds(x0, win)]
+                acc = jnp.where(hlo[ph] + r < hhi[ph], jnp.maximum(acc, row), acc)
+            band[ph, :win] = acc
+            continue
+
         def body(h, acc):
             return jnp.maximum(acc, full_buf[0, h, pl.ds(x0, win)])
 
-        init = jnp.full((win, c_tile), neg, full_buf.dtype)
         band[ph, :win] = jax.lax.fori_loop(
             hlo[ph], hhi[ph], body, init, unroll=False
         )
@@ -254,7 +283,7 @@ def _fold_rows_carry_pair(
     read-modify-write) and the conditional band folded in place under
     ``row_cond`` sharing the same row load. ``band_b`` must be
     NEG-initialised by the caller; ``band_a`` is written once per bin."""
-    neg = full_buf.dtype.type(NEG)
+    neg = _neg_for(full_buf.dtype)
     for ph in range(p):
         def body(h, acc, ph=ph):
             row = full_buf[0, h, pl.ds(x0, win)]
@@ -346,12 +375,22 @@ def _onehot_candidates(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype):
     onehot = jnp.where(
         jnp.logical_and(ciota == tabs - x0, valid), 1.0, 0.0
     ).astype(dtype)
+    # f32 features need HIGHEST precision or the MXU's default bf16 input
+    # truncation breaks the bit-exact-gather contract (bf16 features are
+    # unaffected and keep the fast default passes). int8 (tile8 walk) rides
+    # the 2x int8 MXU rate with an int32 accumulator — still an exact gather.
+    # (a bf16 accumulator would also be exact for gathers — one nonzero per
+    # output — but Mosaic REQUIRES 32-bit matmul accumulators: 'tpu.matmul
+    # op Expected matmul acc to be 32-bit', measured 2026-08-19.)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    acc_t = jnp.int32 if jnp.dtype(dtype) == jnp.int8 else jnp.float32
     vals = [
         jax.lax.dot_general(
             onehot,
             band[ph, :wd],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
+            precision=prec,
         )
         for ph in range(p)
     ]
@@ -359,14 +398,20 @@ def _onehot_candidates(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype):
 
 
 def _jgroup_max(vals, mask, p, j_cap, c_tile):
-    """Second half: masked max over each bin's j-group -> [P, P, CT] f32."""
-    negf = jnp.float32(NEG)
-    outs = [
-        jnp.max(
-            jnp.where(mask, v, negf).reshape(p, j_cap, c_tile), axis=1
+    """Second half: masked max over each bin's j-group -> [P, P, CT] f32.
+    int32 candidates (tile8) reduce in int32 and promote only the [P, CT]
+    result — exact, int8-range values; the mask fill is below any payload
+    and maps under <= NEG/2-style empty detection via <= -127.5."""
+    outs = []
+    for v in vals:
+        if v.dtype == jnp.int32:
+            neg = jnp.int32(-(2**30))
+        else:
+            neg = v.dtype.type(NEG)  # bf16/f32 both represent NEG
+        m = jnp.max(
+            jnp.where(mask, v, neg).reshape(p, j_cap, c_tile), axis=1
         )
-        for v in vals
-    ]
+        outs.append(m.astype(jnp.float32) if m.dtype != jnp.float32 else m)
     return jnp.stack(outs, axis=0)
 
 
@@ -376,7 +421,11 @@ def _band_max(band, wd, col, wlo, whi, p, hole_x=None):
     ``hole_x=(hx1, hx2)`` additionally restricts columns to the strict
     outside of the hole's column span (``col <= hx1 | col >= hx2``)."""
     bv = band[:, :wd]  # [P, wd, CT]
-    neg = bv.dtype.type(NEG)
+    if bv.dtype == jnp.int8:
+        # Mosaic has no int8 max-reduce; bf16 holds int8 exactly (tile8
+        # wide path — rare, the narrow MXU path stays int8)
+        bv = bv.astype(jnp.bfloat16)
+    neg = _neg_for(bv.dtype)
     outs = []
     for pw in range(p):
         m = jnp.logical_and(col >= wlo[pw], col < whi[pw])  # [wd, 1]
@@ -389,7 +438,8 @@ def _band_max(band, wd, col, wlo, whi, p, hole_x=None):
     return jnp.stack(outs, axis=1)  # [P(ph), P(pw), CT]
 
 
-def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
+def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant, nmajor=False,
+               n56c=False):
     """Epilogue: gate-and-write (bf16), quantize-and-write (int8), or
     gate-and-write + per-lane maxabs partial row ("maxabs": the downstream
     XLA int8-quantize pass then reads the chunk ONCE — its separate
@@ -399,8 +449,41 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
     ``regions``: list of [P, P, CT] pooled values (pre-gate). For int8 the
     gate folds into the emitted scale, keeping the payload gate-free.
     ``ri`` is this ROI's index within the full padded N axis (the scales
-    block spans all of N_pad — small last dims can't be tiled)."""
+    block spans all of N_pad — small last dims can't be tiled).
+    ``nmajor`` stores into the n-major ``[(3,) 1, RB, P, P, CT]`` block
+    instead of the hwnc ``[(3,) 1, P, P, RB, CT]`` one; ``n56c`` maps
+    (ph, pw) -> row ph*8 + pw (pw zero-padded to 8), so each ROI's store is
+    a CONTIGUOUS [p*8, CT] full-tile write at ``out_ref[(r,) 0, i]`` — the
+    hwnc per-ROI store masks 1 of 8 sublanes across 49 tiles (read-modify-
+    write), measured ~98 ms of the 183 ms bench sweep on v5e."""
     triple = len(regions) > 1
+
+    def store(r, payload):
+        if n56c:
+            # row = ph*8 + pw (pw padded 7 -> 8 with zeros): padding the
+            # SUBLANE dim to 8 first makes the (p, 8) -> p*8 merge a free
+            # relayout — reshaping (7, 7) -> 49 directly costs an in-
+            # register sublane shuffle that ate the store saving (201 vs
+            # 183 ms measured)
+            p_, _, ct_ = payload.shape
+            flat = jnp.pad(payload, ((0, 0), (0, 8 - p_), (0, 0))).reshape(
+                p_ * 8, ct_
+            )
+            if triple:
+                out_ref[r, 0, i] = flat
+            else:
+                out_ref[0, i] = flat
+            return
+        if triple:
+            if nmajor:
+                out_ref[r, 0, i] = payload
+            else:
+                out_ref[r, 0, :, :, i] = payload
+        elif nmajor:
+            out_ref[0, i] = payload
+        else:
+            out_ref[0, :, :, i] = payload
+
     if quant == "maxabs":
         for r, vals in enumerate(regions):
             gated = (vals.astype(jnp.float32) * gate).astype(out_ref.dtype)
@@ -410,12 +493,23 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
             part = jnp.max(
                 jnp.abs(gated.astype(jnp.float32)), axis=(0, 1), keepdims=True
             )[0]  # [1, CT]
+            store(r, gated)
             if triple:
-                out_ref[r, 0, :, :, i] = gated
                 scale_ref[r, 0, 0, pl.ds(i, 1)] = part
             else:
-                out_ref[0, :, :, i] = gated
                 scale_ref[0, 0, pl.ds(i, 1)] = part
+        return
+    if quant == "tile8":
+        # tile8: values are already quantized ints (the max of an int8-
+        # quantized tile IS the quantized max — monotone), so emission is a
+        # cast; the per-ROI scale is the prefetched gate, into which the
+        # caller folded the per-(image, chunk) feature scale.
+        for r, vals in enumerate(regions):
+            store(r, jnp.clip(vals, -127.0, 127.0).astype(jnp.int8))
+            if triple:
+                scale_ref[r, 0, 0, ri] = gate
+            else:
+                scale_ref[0, 0, ri] = gate
         return
     if quant == "int8":
         for r, vals in enumerate(regions):
@@ -429,25 +523,21 @@ def _write_out(out_ref, scale_ref, regions, gate, i, ri, quant):
             inv_v = jnp.where(m_v > 1e-20, 127.0 / m_v, 0.0)
             q = jnp.round(v32 * inv_v[None]).astype(jnp.int8)
             maxabs = m_v[0, 0]
+            store(r, q)
             if triple:
-                out_ref[r, 0, :, :, i] = q
                 scale_ref[r, 0, 0, ri] = gate * maxabs * (1.0 / 127.0)
             else:
-                out_ref[0, :, :, i] = q
                 scale_ref[0, 0, ri] = gate * maxabs * (1.0 / 127.0)
     else:
         for r, vals in enumerate(regions):
-            gated = (vals.astype(jnp.float32) * gate).astype(out_ref.dtype)
-            if triple:
-                out_ref[r, 0, :, :, i] = gated
-            else:
-                out_ref[0, :, :, i] = gated
+            store(r, (vals.astype(jnp.float32) * gate).astype(out_ref.dtype))
 
 
 def _fused_pool_kernel(
-    rois_ref,  # [B*N_pad*W] SMEM packed per-ROI geometry: _pack_region_meta
-    #            words (plain) or _pack_loop_meta words (loop pool)
-    gate_ref,  # [B*N_pad] f32 SMEM per-ROI gate
+    rois_ref,  # packed per-ROI geometry (_pack_region_meta / _pack_loop_meta
+    #           words): [B*N_pad*W] prefetched SMEM, or [1, row_w] SMEM
+    #           scratch holding the CURRENT image's words (meta_dma mode)
+    gate_ref,  # per-ROI gate: [B*N_pad] f32 SMEM, or [1, g_row] scratch
     cbase_ref,  # [1] SMEM channel base of this chunk
     src_ref,  # [B*(N_pad//RB)] SMEM per-block feat dim-0 DMA source (MRRP
     #           branch routing: blocks are branch-pure, table = br*B + b;
@@ -458,8 +548,11 @@ def _fused_pool_kernel(
     out_ref,  # [(3,) 1, P, P, RB, CT] VMEM
     scale_ref,  # [(3,) 1, 1, RB] VMEM (quant) or None-like dummy
     full_buf,  # [1, H, W_dma, CT] VMEM resident tile
-    band_a,  # [P, W_band, CT] feat-dtype scratch
-    band_b,  # same (loop pool only) or None
+    band_a2,  # [2, P, W_band, CT] feat-dtype scratch, DOUBLE-buffered: ROI
+    #          i uses slot i&1 so ROI i+1's stage-A VPU walk has no
+    #          write-after-read hazard against ROI i's stage-B MXU gathers —
+    #          the single-band WAR chain serialized the whole per-ROI body
+    band_b2,  # same (loop pool only) or None
     sem,
     *,
     p: int,
@@ -476,11 +569,39 @@ def _fused_pool_kernel(
     context_ratio: float,
     quant: str,
     cls_wins=(),  # ((w_sl, j_cap), ...) per class id; w_sl None = wide
+    nmajor: bool = False,
+    n56c: bool = False,
+    meta_dma: bool = False,
+    force_narrow: bool = False,
+    row_unroll=None,  # static per-bin row cap (narrow plain path)
+    ablate: str = "",  # measurement-only: "nodot" | "nojg" | "cheapstore"
 ):
     b = pl.program_id(0)
     ct_i = pl.program_id(1)
     rbi = pl.program_id(2)
     c0 = pl.multiple_of(cbase_ref[0] + ct_i * c_tile, 128)
+
+    # Per-load scalar arithmetic is THE kernel bottleneck (the round-3
+    # prefetch win was exactly removing per-ROI scalar work; re-deriving the
+    # batch offset inside every load measured 2x pool-only, 92 -> 184 ms on
+    # v5e). The loads below therefore take a PRE-COMPUTED absolute index:
+    # the batch offset is hoisted once per kernel here, and the per-ROI base
+    # once per ROI in the bodies.
+    mw = _loop_meta_words(p) if loop_pool else _meta_words(p)
+    if meta_dma:
+        # per-image tables already DMA'd into the SMEM scratch slabs; the
+        # slabs are [row/128, 128] (the 128-column shape keeps the HBM
+        # source's sliced batch dim untiled — Mosaic rejects 1-row slices
+        # of (8, 128)-tiled 2-D arrays)
+        moff = 0
+        goff = 0
+        load_m = lambda i: rois_ref[i >> 7, i & 127]
+        load_g = lambda i: gate_ref[i >> 7, i & 127]
+    else:
+        moff = b * (n_pad * mw)
+        goff = b * n_pad
+        load_m = lambda i: rois_ref[i]
+        load_g = lambda i: gate_ref[i]
 
     n_blocks = n_pad // roi_block
     src = src_ref[b * n_blocks + rbi]
@@ -499,7 +620,7 @@ def _fused_pool_kernel(
         cp.start()
         cp.wait()
 
-    neg = full_buf.dtype.type(NEG)
+    neg = _neg_for(full_buf.dtype)
 
     if not loop_pool:
         def plain_body(i, w_sl, j_cap):
@@ -508,23 +629,38 @@ def _fused_pool_kernel(
             (``w_sl=None``). Region metadata is precomputed vectorized in
             XLA (_pack_region_meta) and prefetched: the kernel's per-ROI
             scalar work drops to W SMEM loads + 2W shifts per c-tile."""
-            r = b * n_pad + rbi * roi_block + i
-            gate = gate_ref[r]
+            ri = rbi * roi_block + i
+            band_a = band_a2.at[i % 2]
+            gate = load_g(goff + ri)
             rx1, rw, hlo, hhi, w_edges = _unpack_region_meta(
-                rois_ref, r * _meta_words(p), p, w_lim
+                load_m, moff + ri * mw, p, w_lim
             )
             wd = w_sl or w_dma
             if w_sl is not None:
                 x0 = jnp.clip(rx1, 0, w_dma - w_sl)
                 x0 = pl.multiple_of((x0 // 8) * 8, 8)
                 _fold_rows_carry(
-                    full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile
+                    full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile,
+                    n_unroll=row_unroll,
                 )
-                # narrow ROI (bin width <= (w_sl-7)//p + 1 <= j_cap): MXU path
-                pooled = _onehot_gather_max(
-                    band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
-                    full_buf.dtype,
-                )
+                if ablate == "nodot":
+                    # measurement: stage A + epilogue only (WRONG results)
+                    pooled = band_a[:, :p].astype(jnp.float32)
+                elif ablate == "nojg":
+                    vals, _, _ = _onehot_candidates(
+                        band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                        full_buf.dtype,
+                    )
+                    pooled = jnp.stack(
+                        [v[:p].astype(jnp.float32) for v in vals]
+                    )
+                else:
+                    # narrow ROI (bin width <= (w_sl-7)//p + 1 <= j_cap):
+                    # MXU path
+                    pooled = _onehot_gather_max(
+                        band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                        full_buf.dtype,
+                    )
             else:
                 x0 = jnp.int32(0)
                 band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
@@ -536,11 +672,20 @@ def _fused_pool_kernel(
                 pooled = _band_max(band_a, wd, col, wlo, whi, p).astype(
                     jnp.float32
                 )
-            # empty bins -> 0 (torchvision convention)
-            pooled = jnp.where(pooled <= NEG / 2, 0.0, pooled)
+            # empty bins -> 0 (torchvision convention). tile8 payloads are
+            # int8-range with -128/-2^30 empty fills, so -127.5 separates
+            # exactly; float walks use the NEG sentinel.
+            thr = -127.5 if full_buf.dtype == jnp.int8 else NEG / 2
+            pooled = jnp.where(pooled <= thr, 0.0, pooled)
+            if ablate == "cheapstore":
+                # measurement: full compute, [1, 1, CT] store (WRONG results)
+                out_ref[0, 0, 0, i] = (
+                    pooled[0, 0] * gate
+                ).astype(out_ref.dtype)
+                return
             _write_out(
                 out_ref, scale_ref, [pooled], gate, i,
-                rbi * roi_block + i, quant,
+                rbi * roi_block + i, quant, nmajor, n56c,
             )
 
         if cls_ref is not None:
@@ -560,15 +705,30 @@ def _fused_pool_kernel(
                     for i in range(roi_block):
                         plain_body(i, w_sl, jc)
         else:
+            # candidate budget: bin width <= ceil((win-7)/p) + 1, rounded up
+            # to the POOL_WIN_CLASSES table values (24->4, 48->8, 96->16):
+            # the minimal j_cap=7 at win=48 (one-hot rows k=49) measured
+            # 266 ms pool-only vs 92 at j_cap=8 (k=56) on v5e — the
+            # misaligned dot/reshape hits a Mosaic slow path
+            j_cap_win = -(-(win - 7) // p) + 1
+            for w_c, j_c in cls_wins:
+                if w_c is not None and w_c >= win and j_c >= j_cap_win:
+                    j_cap_win = j_c
+                    break
             for i in range(roi_block):
-                if narrow_enabled:
-                    r = b * n_pad + rbi * roi_block + i
-                    rw = rois_ref[r * _meta_words(p)] >> 16
+                if force_narrow and narrow_enabled:
+                    # caller GUARANTEES every ROI fits the window (width-
+                    # split segments): the wide body is never traced, so the
+                    # ROI pays only the narrow walk — measuring whether
+                    # Mosaic executes both pl.when bodies predicated
+                    plain_body(i, win, j_cap_win)
+                elif narrow_enabled:
+                    rw = load_m(moff + (rbi * roi_block + i) * mw) >> 16
                     narrow = rw <= win - 7
 
                     @pl.when(narrow)
                     def _(i=i):
-                        plain_body(i, win, 8)
+                        plain_body(i, win, j_cap_win)
 
                     @pl.when(jnp.logical_not(narrow))
                     def _(i=i):
@@ -578,14 +738,16 @@ def _fused_pool_kernel(
         return
 
     for i in range(roi_block):
-        r = b * n_pad + rbi * roi_block + i
+        ri = rbi * roi_block + i
+        band_a = band_a2.at[i % 2]
+        band_b = band_b2.at[i % 2]
 
         # ---- ROILoopPool: ROI / frame / context ------------------------
         # all geometry (two regions + hole/row-condition edges) precomputed
         # vectorized in XLA (_pack_loop_meta) and prefetched
-        gate = gate_ref[r]
+        gate = load_g(goff + ri)
         k2 = 2 + 2 * p
-        vals = _unpack_words(rois_ref, r * _loop_meta_words(p), 4 * p + 12)
+        vals = _unpack_words(load_m, moff + ri * mw, 4 * p + 12)
         rx1_r, rw_r, hlo_r, hhi_r, we_r = _region_vals_to_meta(
             vals[:k2], p, w_lim
         )
@@ -683,7 +845,7 @@ def _fused_pool_kernel(
 
             _write_out(
                 out_ref, scale_ref, [roi_v, frame_v, ctx_v], gate, i,
-                rbi * roi_block + i, quant,
+                rbi * roi_block + i, quant, nmajor, n56c,
             )
 
         if narrow_enabled:
@@ -709,7 +871,8 @@ def _fused_pool_kernel(
     jax.jit,
     static_argnames=(
         "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
-        "loop_pool", "context_ratio", "quant", "interpret",
+        "loop_pool", "context_ratio", "quant", "interpret", "out_layout",
+        "meta_dma", "win", "force_narrow", "row_unroll", "ablate",
     ),
 )
 def roi_pool_fused_batched(
@@ -728,6 +891,25 @@ def roi_pool_fused_batched(
     src_tbl: jnp.ndarray | None = None,  # [B, N//roi_block] int32
     cls_tbl: jnp.ndarray | None = None,  # [B, N//roi_block] int32
     interpret: bool = False,
+    out_layout: str = "hwnc",  # "hwnc" [(3,)B,P,P,N,CT] | "nhwc"
+    # [(3,)B,N,P,P,CT] | "n56c" [(3,)B,N,56,CT] ((ph,pw) flattened and
+    # zero-padded to 56 — the sublane-aligned per-ROI store, pair with
+    # ChunkedDenseGeneral chunk_layout="n56c")
+    meta_dma: bool | None = None,  # None = auto (when prefetch overflows SMEM)
+    win: int | None = None,  # narrow x-window override (plain pool): stage-A
+    # walk cost is ~linear in the window, so callers holding a width-sorted
+    # ROI segment pick the smallest window covering it; ROIs wider than
+    # ``win - 7`` still take the exact full-row fallback
+    force_narrow: bool = False,  # caller GUARANTEES rw <= win - 7 for every
+    # valid ROI: the wide body is not even traced (wrong results if the
+    # guarantee is violated — use only with value-thresholded width splits)
+    row_unroll: int | None = None,  # static per-bin row cap for the narrow
+    # stage-A fold: replaces each bin's dynamic-trip fori with a masked
+    # unroll. Correct only when rh <= (row_unroll - 1) * output_size for
+    # every valid ROI (value-thresholded height splits).
+    ablate: str = "",  # measurement-only stage ablations (WRONG results):
+    # "nodot" skips stage B, "nojg" skips the j-group reduce, "cheapstore"
+    # stores one [CT] row per ROI
 ):
     """Max-pool ``feat[..., c_base:c_base+c_take]`` for every ROI of every
     image; hwnc output.
@@ -756,54 +938,43 @@ def roi_pool_fused_batched(
         # larger blocks measured no faster (cost is per-ROI, not per-block)
         roi_block = 8
 
+    if quant == "tile8" and feat.dtype != jnp.int8:
+        # tile8: pre-quantize the chunk per image in XLA (cheap pass over the
+        # feature slice), then the WHOLE kernel runs int8 — half the VPU walk
+        # bytes, the 2x int8 MXU gather rate, half the payload HBM write —
+        # and the downstream fc1 int8 GEMM consumes the payload directly (no
+        # separate quantize pass over the pooled tensor at all). max commutes
+        # with the monotone per-image quantization, so the emitted payload is
+        # EXACTLY the quantized true pooled values; precision vs the per-ROI
+        # 'int8' mode is coarser (per-image scale), guarded by
+        # tests/test_golden_eval_int8.py + the module agreement tests.
+        assert src_tbl is None, "tile8 does not support MRRP branch routing yet"
+        assert not loop_pool, "tile8 is a plain-ROIPool mode for now"
+        # c_base is a traced operand (not static): dynamic slice
+        fs = jax.lax.dynamic_slice_in_dim(feat, c_base, c_take, axis=-1)
+        f32 = fs.astype(jnp.float32)
+        s = jnp.max(jnp.abs(f32), axis=(1, 2, 3)) / 127.0  # [B]
+        s = jnp.maximum(s, 1e-20)
+        feat = jnp.clip(
+            jnp.round(f32 / s[:, None, None, None]), -127, 127
+        ).astype(jnp.int8)
+        gate = gate * s[:, None]  # scale folds into the emitted per-ROI scale
+        c_base, c = 0, c_take
+
     n_pad_est = n + (-n) % roi_block
     # packed meta words + f32 gate table per ROI
     roi_bytes = ((_loop_meta_words(p) if loop_pool else _meta_words(p)) + 1) * 4
-    if b > 1 and b * n_pad_est * roi_bytes > SMEM_BUDGET:
-        g = b
-        while g > 1 and (
-            g * n_pad_est * roi_bytes > SMEM_BUDGET or b % g != 0
-        ):
-            g -= 1
-        n_br = feat.shape[0] // b
-
-        def feat_group(i):
-            if src_tbl is None:
-                return feat[i : i + g]
-            # branch-major concat: take each branch's rows for this image
-            # group (XLA CSEs the identical slice across the chunk calls)
-            return feat.reshape(n_br, b, *feat.shape[1:])[
-                :, i : i + g
-            ].reshape(n_br * g, *feat.shape[1:])
-
-        def src_group(i):
-            if src_tbl is None:
-                return None
-            # remap branch*B + img into the group's branch*g + (img - i)
-            return (src_tbl[i : i + g] // b) * g + (src_tbl[i : i + g] % b - i)
-
-        parts = [
-            roi_pool_fused_batched(
-                feat_group(i), rois[i : i + g], gate[i : i + g], c_base,
-                output_size=output_size, spatial_scale=spatial_scale,
-                c_take=c_take, c_tile=c_tile, roi_block=roi_block,
-                loop_pool=loop_pool, context_ratio=context_ratio, quant=quant,
-                src_tbl=src_group(i),
-                cls_tbl=None if cls_tbl is None else cls_tbl[i : i + g],
-                interpret=interpret,
-            )
-            for i in range(0, b, g)
-        ]
-        ax = 1 if loop_pool else 0
-        if quant in ("int8", "maxabs"):
-            return (
-                jnp.concatenate([x[0] for x in parts], axis=ax),
-                jnp.concatenate([x[1] for x in parts], axis=ax),
-            )
-        return jnp.concatenate(parts, axis=ax)
+    if meta_dma is None:
+        # auto: stream per-image tables HBM -> SMEM scratch inside the kernel
+        # whenever prefetching all B images' tables would overflow SMEM.
+        # (Round 3 B-SPLIT the call instead — the two half-batch outputs then
+        # hit a jnp.concatenate that re-materializes the multi-GB pooled
+        # tensor downstream: ~85 ms/sweep at the COCO bench shape, the
+        # round-3 "chain gap". One call + per-image DMA has no such copy.)
+        meta_dma = b * n_pad_est * roi_bytes > SMEM_BUDGET
 
     if c_tile is None:
-        itemsize = 2 if feat.dtype == jnp.bfloat16 else 4
+        itemsize = {1: 1, 2: 2}.get(jnp.dtype(feat.dtype).itemsize, 4)
         c_tile = 256 if loop_pool else 512  # loop pool: 2 extra band buffers
         while c_tile > 128 and (
             h * (-(-w // 8) * 8) * c_tile * itemsize > 12_500_000
@@ -817,7 +988,10 @@ def roi_pool_fused_batched(
     w_dma = -(-w // 8) * 8
     if w_dma != w:
         feat = jnp.pad(feat, ((0, 0), (0, 0), (0, w_dma - w), (0, 0)))
-    win = LOOP_WIN if loop_pool else POOL_WIN
+    if win is None:
+        win = LOOP_WIN if loop_pool else POOL_WIN
+    else:
+        assert not loop_pool and win % 8 == 0, (win, loop_pool)
     narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
 
     pad = (-n) % roi_block
@@ -825,12 +999,28 @@ def roi_pool_fused_batched(
     rois_p = jnp.pad(rois.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
     gate_p = jnp.pad(gate.astype(jnp.float32), ((0, 0), (0, pad)))
     if loop_pool:
-        roi_tbl = _pack_loop_meta(
-            rois_p, spatial_scale, p, h, w, context_ratio
-        ).reshape(-1)
+        meta = _pack_loop_meta(rois_p, spatial_scale, p, h, w, context_ratio)
+        mw = _loop_meta_words(p)
     else:
-        roi_tbl = _pack_region_meta(rois_p, spatial_scale, p, h).reshape(-1)
-    gate_tbl = gate_p.reshape(-1)
+        meta = _pack_region_meta(rois_p, spatial_scale, p, h)
+        mw = _meta_words(p)
+    if meta_dma:
+        # per-image rows as [B, row/128, 128]: the tiled pair is the last
+        # two dims, so the per-image DMA slice on dim 0 needs no alignment.
+        # Rows pad to a multiple of 8*128 words: the DMA is issued in
+        # <= 256-row slabs (larger single SMEM DMAs fault the chip) whose
+        # 8-aligned sizes the tiled HBM slice requires.
+        m_row = -(-(n_pad * mw) // 1024) * 1024
+        g_row = -(-n_pad // 1024) * 1024
+        roi_tbl = jnp.pad(
+            meta.reshape(b, n_pad * mw), ((0, 0), (0, m_row - n_pad * mw))
+        ).reshape(b, m_row // 128, 128)
+        gate_tbl = jnp.pad(gate_p, ((0, 0), (0, g_row - n_pad))).reshape(
+            b, g_row // 128, 128
+        )
+    else:
+        roi_tbl = meta.reshape(-1)
+        gate_tbl = gate_p.reshape(-1)
     cbase = jnp.asarray([c_base], jnp.int32)
     if src_tbl is None:
         src_flat = jnp.broadcast_to(
@@ -849,17 +1039,42 @@ def roi_pool_fused_batched(
         cls_flat = None
 
     tri = (3,) if loop_pool else ()
-    out_dtype = jnp.int8 if quant == "int8" else feat.dtype
+    out_dtype = jnp.int8 if quant in ("int8", "tile8") else feat.dtype
     nd = len(tri)
-    out_spec = pl.BlockSpec(
-        tri + (1, p, p, roi_block, c_tile),
-        lambda bi, ci, rbi, *_: (0,) * nd + (bi, 0, 0, rbi, ci),
-    )
-    out_shapes = [
-        jax.ShapeDtypeStruct(tri + (b, p, p, n_pad, c_take), out_dtype)
-    ]
+    nmajor = out_layout == "nhwc"
+    n56c = out_layout == "n56c"
+    if n56c:
+        # per-ROI CONTIGUOUS [56, CT] stores (see _write_out): output
+        # [(3,) B, N_pad, 56, c_take]; the fc1 consumer contracts the
+        # ADJACENT (56, c) minor dims, so no relayout on either side
+        out_spec = pl.BlockSpec(
+            tri + (1, roi_block, p * 8, c_tile),
+            lambda bi, ci, rbi, *_: (0,) * nd + (bi, rbi, 0, ci),
+        )
+        out_shapes = [
+            jax.ShapeDtypeStruct(tri + (b, n_pad, p * 8, c_take), out_dtype)
+        ]
+    elif nmajor:
+        # n-major output: (h, w, c) adjacent-in-order, so the downstream fc1
+        # contraction collapses them without the cross-N transpose the hwnc
+        # layout forces (measured ~85 ms across the 4-chunk bench sweep)
+        out_spec = pl.BlockSpec(
+            tri + (1, roi_block, p, p, c_tile),
+            lambda bi, ci, rbi, *_: (0,) * nd + (bi, rbi, 0, 0, ci),
+        )
+        out_shapes = [
+            jax.ShapeDtypeStruct(tri + (b, n_pad, p, p, c_take), out_dtype)
+        ]
+    else:
+        out_spec = pl.BlockSpec(
+            tri + (1, p, p, roi_block, c_tile),
+            lambda bi, ci, rbi, *_: (0,) * nd + (bi, 0, 0, rbi, ci),
+        )
+        out_shapes = [
+            jax.ShapeDtypeStruct(tri + (b, p, p, n_pad, c_take), out_dtype)
+        ]
     out_specs = [out_spec]
-    if quant == "int8":
+    if quant in ("int8", "tile8"):
         # scales are written as scalars -> SMEM block (VMEM refs reject
         # scalar stores); the row spans all of N_pad with an rbi-independent
         # index so it stays resident across the inner ROI sweep
@@ -888,38 +1103,85 @@ def roi_pool_fused_batched(
         )
 
     # the band must hold the full row for the wide-ROI path; narrow ROIs use
-    # its leading [:, :win] slice
+    # its leading [:, :win] slice. Leading 2 = per-ROI double buffering (see
+    # the kernel's band_a2 comment).
     w_band = w_dma
     scratch = [
         pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype),
-        pltpu.VMEM((p, w_band, c_tile), feat.dtype),
+        pltpu.VMEM((2, p, w_band, c_tile), feat.dtype),
     ]
     scratch.append(
-        pltpu.VMEM((p, w_band, c_tile), feat.dtype) if loop_pool else None
+        pltpu.VMEM((2, p, w_band, c_tile), feat.dtype) if loop_pool else None
     )
     scratch = [s for s in scratch if s is not None]
     scratch.append(pltpu.SemaphoreType.DMA)
+    if meta_dma:
+        scratch += [
+            pltpu.SMEM((m_row // 128, 128), jnp.int32),
+            pltpu.SMEM((g_row // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
 
     def kernel_entry(*args):
-        rois_s, gate_s, cbase_s, src_s = args[:4]
-        rest = args[4:]
-        if cls_flat is not None:
-            cls_s, rest = rest[0], rest[1:]
+        if meta_dma:
+            cbase_s, src_s = args[:2]
+            rest = args[2:]
+            if cls_flat is not None:
+                cls_s, rest = rest[0], rest[1:]
+            else:
+                cls_s = None
+            meta_hbm, gate_hbm, feat_ref = rest[:3]
+            rest = rest[3:]
         else:
-            cls_s = None
-        feat_ref = rest[0]
-        rest = rest[1:]
-        if quant in ("int8", "maxabs"):
+            rois_s, gate_s, cbase_s, src_s = args[:4]
+            rest = args[4:]
+            if cls_flat is not None:
+                cls_s, rest = rest[0], rest[1:]
+            else:
+                cls_s = None
+            feat_ref = rest[0]
+            rest = rest[1:]
+        if quant in ("int8", "tile8", "maxabs"):
             out_r, scale_r = rest[0], rest[1]
             rest = rest[2:]
         else:
             out_r, scale_r = rest[0], None
             rest = rest[1:]
+        if meta_dma:
+            *rest, meta_s, gate_s2, sem_m, sem_g = rest
+            rois_s, gate_s = meta_s, gate_s2
         if loop_pool:
             full, ba, bb, sem_ = rest
         else:
             full, ba, sem_ = rest
             bb = None
+        if meta_dma:
+            bq = pl.program_id(0)
+
+            @pl.when(
+                jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+            )
+            def _():
+                cps = []
+                for ref_h, ref_s, sem_x in (
+                    (meta_hbm, rois_s, sem_m),
+                    (gate_hbm, gate_s, sem_g),
+                ):
+                    rows = ref_s.shape[0]
+                    for r0 in range(0, rows, 256):
+                        sz = min(256, rows - r0)
+                        cps.append(
+                            pltpu.make_async_copy(
+                                ref_h.at[bq, pl.ds(r0, sz)],
+                                ref_s.at[pl.ds(r0, sz)],
+                                sem_x,
+                            )
+                        )
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
         _fused_pool_kernel(
             rois_s, gate_s, cbase_s, src_s, cls_s, feat_ref, out_r, scale_r,
             full, ba, bb, sem_,
@@ -927,17 +1189,33 @@ def roi_pool_fused_batched(
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
             context_ratio=context_ratio, quant=quant,
-            cls_wins=POOL_WIN_CLASSES,
+            cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c,
+            meta_dma=meta_dma,
+            force_narrow=force_narrow, row_unroll=row_unroll, ablate=ablate,
         )
 
-    scal_args = (roi_tbl, gate_tbl, cbase, src_flat)
+    if meta_dma:
+        scal_args = (cbase, src_flat)
+        call_inputs = (roi_tbl, gate_tbl, feat)
+        # the tables MUST stay in HBM: Mosaic otherwise promotes the ~MB
+        # meta array to VMEM, whose (8, 128) tiling rejects the 1-row DMA
+        # slice (HBM rows are untiled)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+    else:
+        scal_args = (roi_tbl, gate_tbl, cbase, src_flat)
+        call_inputs = (feat,)
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if cls_flat is not None:
         scal_args = scal_args + (cls_flat,)
-    two_out = quant in ("int8", "maxabs")
+    two_out = quant in ("int8", "tile8", "maxabs")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scal_args),
         grid=(b, n_ct, n_pad // roi_block),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=out_specs if two_out else out_specs[0],
         scratch_shapes=scratch,
     )
@@ -946,14 +1224,20 @@ def roi_pool_fused_batched(
         grid_spec=grid_spec,
         out_shape=out_shapes if two_out else out_shapes[0],
         interpret=interpret or _INTERPRET,
-    )(*scal_args, feat)
-    if quant == "int8":
+    )(*scal_args, *call_inputs)
+    if nmajor or n56c:
+        def payload_sl(x):  # [(3,) B, N_pad, ...] -> unpadded N
+            return x[(slice(None),) * (nd + 1) + (slice(0, n),)]
+    else:
+        def payload_sl(x):  # [(3,) B, P, P, N_pad, CT]
+            return x[..., :n, :]
+    if quant in ("int8", "tile8"):
         vals, scales = out
-        return vals[..., :n, :], scales[..., :n]
+        return payload_sl(vals), scales[..., :n]
     if quant == "maxabs":
         vals, pmax = out
-        return vals[..., :n, :], pmax[..., :n, :]
-    return out[..., :n, :]
+        return payload_sl(vals), pmax[..., :n, :]
+    return payload_sl(out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))

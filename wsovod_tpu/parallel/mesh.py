@@ -47,5 +47,16 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
 
 
 def replicate(tree, mesh: Mesh):
+    if jax.process_count() > 1:
+        # multi-controller: the mesh spans non-addressable devices, so a
+        # plain device_put is rejected; every host holds the same value
+        # (deterministic init / checkpoint), which is exactly the
+        # host-local -> global replicated contract
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec
+
+        return multihost_utils.host_local_array_to_global_array(
+            tree, mesh, PartitionSpec()
+        )
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
