@@ -548,19 +548,23 @@ def test_chunked_dan_thunk_remat_grads(monkeypatch):
         )
         thunks, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=True)
         assert all(isinstance(t, ChunkThunk) for t in thunks)
+        # train pools UNGATED; the (objectness+1) gate rides the fc1 output
+        row_gate = pooler.train_row_gate
+        assert row_gate is not None
         arrays, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
+        assert pooler.train_row_gate is None  # inference: gate in-kernel
         plain, _ = pooler.__class__(
             7, scales=[0.25], pooler_type="ROIPool", roi_align_kernel="fused"
         ).fused_chunk_pool([feat], rois, obj, valid, train=True)
         assert not any(isinstance(t, ChunkThunk) for t in plain)
 
         dan = DiscriminativeAdaptationNeck(fc_dims=(16,), dropout_rate=0.0)
-        params = dan.init(jax.random.PRNGKey(0), thunks, train=True)
+        params = dan.init(jax.random.PRNGKey(0), thunks, train=True, row_gate=row_gate)
 
-        def loss(p, x):
-            return jnp.sum(dan.apply(p, x, train=True) ** 2)
+        def loss(p, x, rg=None):
+            return jnp.sum(dan.apply(p, x, train=True, row_gate=rg) ** 2)
 
-        lt, gt = jax.value_and_grad(loss)(params, thunks)
+        lt, gt = jax.value_and_grad(loss)(params, thunks, row_gate)
         la, ga = jax.value_and_grad(loss)(params, arrays)
         np.testing.assert_allclose(np.asarray(lt), np.asarray(la), rtol=1e-5)
         jax.tree_util.tree_map(

@@ -320,6 +320,14 @@ def get_cfg() -> CN:
     # tests/test_misc_components.py::test_rpn_int8_conv_proposal_agreement.
     # Train always keeps the exact fp conv. Set "none" for bit-parity runs.
     _C.TPU.RPN_CONV_QUANT = "int8"
+    # "int8": res4/res5 backbone convs (incl. the MAC-dominant bottleneck
+    # 1x1s) as int8 GEMMs — the same shift decomposition as the RPN conv,
+    # with dilation support for DC5/MRRP. Inference-scale numerics and a
+    # zero-gradient round(): only sound with the frozen backbone every
+    # shipped config uses (FREEZE_AT=5). Default off pending the on-chip
+    # A/B + the golden-eval delta guard (tests/test_golden_eval_int8.py
+    # covers it when enabled via its quant matrix).
+    _C.TPU.BACKBONE_CONV_QUANT = "none"
 
     return _C
 

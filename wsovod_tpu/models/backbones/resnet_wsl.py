@@ -49,14 +49,16 @@ class BasicBlock(nn.Module):
     has_pool: bool = False
     dilation: int = 1
     norm: str = "FrozenBN"
+    quant: str = "none"  # int8 shift-GEMM convs (see ConvNorm.quant)
 
     @nn.compact
     def __call__(self, x, dilation: int | None = None):
         d = self.dilation if dilation is None else dilation
-        out = nn.relu(ConvNorm(self.out_channels, 3, norm=self.norm, name="conv1")(x, dilation=d))
-        out = ConvNorm(self.out_channels, 3, norm=self.norm, name="conv2")(out, dilation=d)
+        q = self.quant
+        out = nn.relu(ConvNorm(self.out_channels, 3, norm=self.norm, quant=q, name="conv1")(x, dilation=d))
+        out = ConvNorm(self.out_channels, 3, norm=self.norm, quant=q, name="conv2")(out, dilation=d)
         if x.shape[-1] != self.out_channels:
-            shortcut = ConvNorm(self.out_channels, 1, norm=self.norm, name="shortcut")(x)
+            shortcut = ConvNorm(self.out_channels, 1, norm=self.norm, quant=q, name="shortcut")(x)
         else:
             shortcut = x
         out = nn.relu(out + shortcut)
@@ -73,21 +75,24 @@ class BottleneckBlock(nn.Module):
     dilation: int = 1
     num_groups: int = 1
     norm: str = "FrozenBN"
+    quant: str = "none"  # int8 shift-GEMM convs (see ConvNorm.quant)
 
     @nn.compact
     def __call__(self, x, dilation: int | None = None):
         d = self.dilation if dilation is None else dilation
+        q = self.quant
         out = nn.relu(
-            ConvNorm(self.bottleneck_channels, 1, norm=self.norm, name="conv1")(x)
+            ConvNorm(self.bottleneck_channels, 1, norm=self.norm, quant=q, name="conv1")(x)
         )
         out = nn.relu(
             ConvNorm(
-                self.bottleneck_channels, 3, groups=self.num_groups, norm=self.norm, name="conv2"
+                self.bottleneck_channels, 3, groups=self.num_groups,
+                norm=self.norm, quant=q, name="conv2"
             )(out, dilation=d)
         )
-        out = ConvNorm(self.out_channels, 1, norm=self.norm, name="conv3")(out)
+        out = ConvNorm(self.out_channels, 1, norm=self.norm, quant=q, name="conv3")(out)
         if x.shape[-1] != self.out_channels:
-            shortcut = ConvNorm(self.out_channels, 1, norm=self.norm, name="shortcut")(x)
+            shortcut = ConvNorm(self.out_channels, 1, norm=self.norm, quant=q, name="shortcut")(x)
         else:
             shortcut = x
         out = nn.relu(out + shortcut)
@@ -116,6 +121,10 @@ class WSRResNet(nn.Module):
     mrrp_dilations: Sequence[int] = (1, 2, 3)
     mrrp_stage: str = "res5"
     mrrp_test_branch_idx: int = 1
+    # "int8": shift-decomposed int8 GEMM convs on res4/res5 (the MAC-heavy
+    # stages; ~3/4 of R50 MACs incl. the 1x1s). Inference-scale numerics —
+    # use only with the frozen backbone every shipped config has.
+    conv_quant: str = "none"
 
     @property
     def num_blocks_per_stage(self) -> List[int]:
@@ -171,6 +180,7 @@ class WSRResNet(nn.Module):
                     has_pool=has_pool and last,
                     dilation=dilation,
                     norm=self.norm,
+                    quant=self.conv_quant if stage_idx >= 4 else "none",
                 )
                 if basic:
                     block = BasicBlock(**kwargs, name=f"{name}_{b}")
@@ -229,4 +239,5 @@ def build_wsl_resnet_backbone(cfg) -> WSRResNet:
         mrrp_dilations=tuple(mrrp.BRANCH_DILATIONS),
         mrrp_stage=mrrp.MRRP_STAGE,
         mrrp_test_branch_idx=mrrp.TEST_BRANCH_IDX,
+        conv_quant=cfg.TPU.BACKBONE_CONV_QUANT,
     )

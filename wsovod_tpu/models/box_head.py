@@ -51,7 +51,13 @@ class ChunkedDenseGeneral(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, chunks) -> jnp.ndarray:
+    def __call__(self, chunks, row_gate=None) -> jnp.ndarray:
+        """``row_gate`` ([..., N], nonnegative): applied to the ACCUMULATED
+        fc1 output instead of the pooled input (fc1 is linear, bias added
+        after, and ReLU commutes with nonnegative scales) — the training
+        path pools UNGATED chunks so the gate gradient comes from this
+        cheap [.., N, F] product and, with a frozen backbone, XLA drops the
+        multi-GB pooled-tensor cotangent (dx GEMM + pool VJP) entirely."""
         p1, p2, c_total = self.in_shape
         kernel = self.param(
             "kernel", nn.initializers.normal(0.005), (p1, p2, c_total, self.features)
@@ -155,6 +161,8 @@ class ChunkedDenseGeneral(nn.Module):
             acc = y if acc is None else acc + y
             c0 += ci
         assert c0 == c_total, (c0, c_total)
+        if row_gate is not None:
+            acc = acc * row_gate[..., None].astype(acc.dtype)
         return (acc + bias.astype(jnp.float32)).astype(dt)
 
 
@@ -174,6 +182,7 @@ class DiscriminativeAdaptationNeck(nn.Module):
         train: bool = False,
         chunk_layout: str = "hwnc",
         pooled_hw: Tuple[int, int] | None = None,  # required for "n56c"
+        row_gate=None,  # [..., N] nonneg gate applied to the fc1 OUTPUT
     ) -> jnp.ndarray:
         """x: [..., P, P, C] pooled features -> [..., fc_dims[-1]].
 
@@ -185,6 +194,7 @@ class DiscriminativeAdaptationNeck(nn.Module):
         requires no convs."""
         chunked = isinstance(x, (list, tuple))
         assert not (chunked and self.conv_dims), "chunked input incompatible with convs"
+        assert row_gate is None or chunked, "row_gate is a chunked-fc1 feature"
         for i, d in enumerate(self.conv_dims):
             x = nn.relu(
                 ConvNorm(
@@ -216,7 +226,7 @@ class DiscriminativeAdaptationNeck(nn.Module):
                         # round() has zero gradient — quant is inference-only
                         quant=self.fc1_quant if not train else "none",
                         name="fc1",
-                    )(x)
+                    )(x, row_gate=row_gate)
                 else:
                     # contract (h, w, c) directly — a reshape to [*, h*w*c]
                     # would force a physical relayout of the 1GB pooled tensor

@@ -10,6 +10,7 @@ function pure.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
@@ -72,6 +73,11 @@ class ConvNorm(nn.Module):
     groups: int = 1
     norm: str = "FrozenBN"
     use_bias: bool = False
+    # "int8": shift-decomposed int8 GEMM conv at stride 1 (inference-scale
+    # quantization; round() has zero gradient, so enable only with a frozen
+    # backbone — every shipped config has FREEZE_AT=5). Other shapes fall
+    # through to the fp conv. Set via TPU.BACKBONE_CONV_QUANT.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, dilation: int | None = None):
@@ -82,6 +88,21 @@ class ConvNorm(nn.Module):
             nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
             (k, k, x.shape[-1] // self.groups, self.features),
         )
+        if (
+            self.quant == "int8"
+            and self.stride == 1
+            and self.groups == 1
+            and k in (1, 3)
+        ):
+            conv = conv1x1_int8 if k == 1 else functools.partial(
+                conv3x3_shifted_int8, dilation=d
+            )
+            x = conv(x, kernel)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+                x = x + bias.astype(x.dtype)
+            norm = get_norm(self.norm, self.features)
+            return norm(x) if norm is not None else x
         pad = d * (k - 1) // 2
         x = jax.lax.conv_general_dilated(
             x,
@@ -101,12 +122,29 @@ class ConvNorm(nn.Module):
         return x
 
 
+def _quantize_act_weight(x, kernel):
+    """Symmetric dynamic int8 quantization: per-image activation scales and
+    per-output-channel weight scales (weight reduce over all but the last
+    axis)."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)  # [B,1,1,1]
+    s_x = jnp.where(s_x > 1e-20, s_x / 127.0, 1.0)
+    xq = jnp.round(xf / s_x).astype(jnp.int8)
+    kf = kernel.astype(jnp.float32)
+    s_k = jnp.max(jnp.abs(kf), axis=tuple(range(kf.ndim - 1))) / 127.0  # [F]
+    s_k = jnp.where(s_k > 1e-20, s_k, 1.0)
+    kq = jnp.clip(jnp.round(kf / s_k), -127, 127).astype(jnp.int8)
+    return xq, s_x, kq, s_k
+
+
 def conv3x3_shifted_int8(
     x: jnp.ndarray,  # [B, H, W, C]
     kernel: jnp.ndarray,  # [3, 3, C, F]
     bias: Optional[jnp.ndarray] = None,  # [F]
+    dilation: int = 1,
 ) -> jnp.ndarray:
-    """3x3 SAME conv as 9 shifted int8 GEMMs accumulated in int32.
+    """3x3 SAME conv (optionally dilated — the DC5/MRRP res5 form) as 9
+    shifted int8 GEMMs accumulated in int32.
 
     On v5e, XLA's int8 convolution lowers at the bf16 MXU rate (measured: no
     speedup), but int8 ``dot_general`` hits ~1.9x — so the conv is decomposed
@@ -116,26 +154,36 @@ def conv3x3_shifted_int8(
     per-output-channel weight scales (fold after the contraction).
     """
     b, h, w, _ = x.shape
-    xf = x.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)  # [B,1,1,1]
-    s_x = jnp.where(s_x > 1e-20, s_x / 127.0, 1.0)
-    xq = jnp.round(xf / s_x).astype(jnp.int8)
-    kf = kernel.astype(jnp.float32)
-    s_k = jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0  # [F]
-    s_k = jnp.where(s_k > 1e-20, s_k, 1.0)
-    kq = jnp.clip(jnp.round(kf / s_k), -127, 127).astype(jnp.int8)
-
-    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xq, s_x, kq, s_k = _quantize_act_weight(x, kernel)
+    d = dilation
+    xp = jnp.pad(xq, ((0, 0), (d, d), (d, d), (0, 0)))
     acc = None
     for dy in range(3):
         for dx in range(3):
-            sl = xp[:, dy : dy + h, dx : dx + w, :]
+            sl = xp[:, dy * d : dy * d + h, dx * d : dx * d + w, :]
             t = jnp.einsum(
                 "bhwc,cf->bhwf", sl, kq[dy, dx],
                 preferred_element_type=jnp.int32,
             )
             acc = t if acc is None else acc + t
     y = acc.astype(jnp.float32) * s_x * s_k[None, None, None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv1x1_int8(
+    x: jnp.ndarray,  # [B, H, W, C]
+    kernel: jnp.ndarray,  # [1, 1, C, F]
+    bias: Optional[jnp.ndarray] = None,  # [F]
+) -> jnp.ndarray:
+    """1x1 conv as a single int8 GEMM (the res5 bottleneck 1x1s are ~60% of
+    the R50 backbone MACs; int8 dot_general runs at 2x the bf16 MXU rate)."""
+    xq, s_x, kq, s_k = _quantize_act_weight(x, kernel)
+    y = jnp.einsum(
+        "bhwc,cf->bhwf", xq, kq[0, 0], preferred_element_type=jnp.int32
+    )
+    y = y.astype(jnp.float32) * s_x * s_k[None, None, None, :]
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

@@ -219,6 +219,8 @@ class ROIPooler:
         # match the DAN's chunk_layout); the align kernel and the AD/train
         # paths are hwnc, inference pool paths switch to n56c below
         self.chunk_layout_used = "hwnc"
+        # train-path fc1-output gate (see below); None = gate folded in-kernel
+        self.train_row_gate = None
         if self.roi_align_kernel != "fused" or len(features) != 1:
             return none
         if self.pooler_type not in ("ROIPool", "ROILoopPool", "ROIAlignV2"):
@@ -231,9 +233,22 @@ class ROIPooler:
         if not self._on_tpu() or c % 128 != 0:
             return none
 
-        gate = ((objectness + 1.0) * valid.astype(objectness.dtype)).astype(
-            jnp.float32
-        )
+        gate_full = (
+            (objectness + 1.0) * valid.astype(objectness.dtype)
+        ).astype(jnp.float32)
+        # Training pools UNGATED (gate = validity only) and the
+        # (objectness+1) gate is applied to the fc1 OUTPUT instead
+        # (ChunkedDenseGeneral row_gate — fc1 is linear, ReLU commutes with
+        # nonneg scales): the gate gradient then comes from a cheap
+        # [B, N, F] product and, with the frozen backbone every shipped
+        # config uses, XLA drops the multi-GB pooled-tensor cotangent (the
+        # fc1 dx GEMM + the pool VJP) from the backward entirely.
+        self.train_row_gate = None
+        if train:
+            gate = valid.astype(jnp.float32)
+            self.train_row_gate = gate_full
+        else:
+            gate = gate_full
         boxes = jnp.where(valid[..., None], boxes, 0.0).astype(jnp.float32)
         # chunk width = the kernel's native c_tile so downstream int8 scales
         # are per-(ROI, chunk); 512 measured fastest at C=2048 (loop pool:
@@ -386,6 +401,14 @@ class ROIPooler:
                 boxes, gate, key, n_keys
             )
             branch_s = key_s // ncls if use_cls else key_s
+            if self.train_row_gate is not None:
+                # fc1-output gate in SORTED row order (applied before unsort)
+                bidx = jnp.arange(b)[:, None]
+                self.train_row_gate = (
+                    jnp.zeros(gate_s.shape, jnp.float32)
+                    .at[bidx, unsort_idx]
+                    .set(gate_full)
+                )
 
             def mk_branched(cb):
                 if use_maxabs or use_cls or not train:

@@ -213,6 +213,9 @@ class WSOVODROIHeads(nn.Module):
             layout_kw = dict(
                 chunk_layout=getattr(self.pooler, "chunk_layout_used", "hwnc"),
                 pooled_hw=(self.pooler.output_size, self.pooler.output_size),
+                # train: the (objectness+1) gate moves to the fc1 output so
+                # the pooled-tensor cotangent dies (see poolers/box_head)
+                row_gate=getattr(self.pooler, "train_row_gate", None),
             )
             if isinstance(chunks, SegmentedChunks):
                 # width-split segments: fc per segment, concat on the cheap

@@ -397,6 +397,72 @@ def _onehot_candidates(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype):
     return vals, valid, tabs
 
 
+def _onehot_candidates_bd(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                          dtype):
+    """Stage B candidate gather as ONE block-diagonal dot (vs the 7
+    per-``ph`` dots of ``_onehot_candidates``, which run at ~3% MXU
+    efficiency — per-dot fill/drain dominated, measured ~67 ms of the
+    183 ms bench sweep). The band ``[p, wd, CT]`` reshapes (free — ``wd``
+    is sublane-aligned) into the rhs ``[p*wd, CT]``; the lhs is a
+    ``[p*p*j_cap, p*wd]`` one-hot whose row ``ph*(p*j_cap) + pw*j_cap + j``
+    selects rhs row ``ph*wd + wlo[pw] - x0 + j`` — i.e. the SAME [k, wd]
+    one-hot block repeated down the diagonal, one block per ``ph``. 7x MAC
+    waste (67M vs 9.6M per ROI-c-tile at win=48) but a single MXU
+    fill/drain. Returns ``(val [p*k, CT] f32, valid [k, 1], tabs [k, 1])``
+    with ``valid``/``tabs`` in the per-``ph`` row order (broadcastable over
+    the leading ph axis after a reshape to [p, k, CT])."""
+    k = p * j_cap
+    kb = p * k
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (kb, 1), 0)
+    within = r_i % k
+    jj = within % j_cap
+    pwv = within // j_cap
+    wlo_v = jnp.clip((pwv * rw) // p + rx1, 0, w_lim)
+    whi_v = jnp.clip(-((-(pwv + 1) * rw) // p) + rx1, 0, w_lim)
+    tabs = wlo_v + jj
+    valid = tabs < whi_v
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (kb, p * wd), 1)
+    # block-diag: row r (in ph block r//k) hits col ph*wd + (tabs - x0)
+    col = (r_i // k) * wd + tabs - x0
+    onehot = jnp.where(
+        jnp.logical_and(ciota == col, valid), 1.0, 0.0
+    ).astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    acc_t = jnp.int32 if jnp.dtype(dtype) == jnp.int8 else jnp.float32
+    rhs = band[:, :wd].reshape(p * wd, c_tile)
+    val = jax.lax.dot_general(
+        onehot, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_t, precision=prec,
+    )  # [p*k, CT]
+    return val, valid[:k], tabs[:k]
+
+
+def _jgroup_max_bd(val, mask, p, j_cap, c_tile):
+    """j-group masked max of the block-diag candidate matrix
+    ``[p*p*j_cap, CT]`` -> [P, P, CT] f32. ``mask`` is the per-ph-block
+    [p*j_cap, 1] validity (tiled over ph by broadcasting)."""
+    if val.dtype == jnp.int32:
+        neg = jnp.int32(-(2**30))
+    else:
+        neg = val.dtype.type(NEG)
+    k = p * j_cap
+    m = jnp.broadcast_to(mask, (k, val.shape[-1]))
+    m = jnp.broadcast_to(m[None], (p, k, val.shape[-1])).reshape(p * k, -1)
+    out = jnp.max(
+        jnp.where(m, val, neg).reshape(p, p, j_cap, c_tile), axis=2
+    )
+    return out.astype(jnp.float32) if out.dtype != jnp.float32 else out
+
+
+def _onehot_gather_max_bd(band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                          dtype):
+    """Block-diag single-dot form of ``_onehot_gather_max``."""
+    val, valid, _ = _onehot_candidates_bd(
+        band, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile, dtype
+    )
+    return _jgroup_max_bd(val, valid, p, j_cap, c_tile)
+
+
 def _jgroup_max(vals, mask, p, j_cap, c_tile):
     """Second half: masked max over each bin's j-group -> [P, P, CT] f32.
     int32 candidates (tile8) reduce in int32 and promote only the [P, CT]
@@ -413,6 +479,54 @@ def _jgroup_max(vals, mask, p, j_cap, c_tile):
         )
         outs.append(m.astype(jnp.float32) if m.dtype != jnp.float32 else m)
     return jnp.stack(outs, axis=0)
+
+
+def _fold_rows_carry_w(full_buf, wband, hlo, hhi, x0, win, p, c_tile):
+    """Stage A writing a W-MAJOR band ``[win, 8(ph), CT]`` (w8hc stage B):
+    same carry fold as ``_fold_rows_carry`` but each bin stores its
+    ``[win, CT]`` result at ph of the middle dim. The pad row ph=7 is never
+    written — the epilogue zeroes its lane block."""
+    neg = _neg_for(full_buf.dtype)
+    for ph in range(p):
+        def body(h, acc):
+            return jnp.maximum(acc, full_buf[0, h, pl.ds(x0, win)])
+
+        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        wband[:, ph] = jax.lax.fori_loop(
+            hlo[ph], hhi[ph], body, init, unroll=False
+        )
+
+
+def _onehot_gather_max_w(wband, win, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                         dtype):
+    """w8hc stage B: ONE exact-gather dot per ROI. The w-major band
+    ``[win, 8(ph), CT]`` reshapes (free, 8-aligned minor merge) into the
+    rhs ``[win, 8*CT]``; the [p*j_cap, win] one-hot then gathers EVERY
+    (pw, j) candidate for ALL ph lane-blocks in a single
+    ``[56, win] x [win, 8*CT]`` matmul — vs 7 small dots at ~3% MXU
+    efficiency (fill/drain bound; measured ~67 ms of the 183 ms sweep).
+    Returns ``[p(pw), 8*CT]`` f32 (ph in the lane blocks; pad lanes
+    ph=7 hold garbage — callers zero them)."""
+    k = p * j_cap
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    jj = r_i % j_cap
+    pwv = r_i // j_cap
+    wlo_v = jnp.clip((pwv * rw) // p + rx1, 0, w_lim)
+    whi_v = jnp.clip(-((-(pwv + 1) * rw) // p) + rx1, 0, w_lim)
+    tabs = wlo_v + jj
+    valid = tabs < whi_v
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (k, win), 1)
+    onehot = jnp.where(
+        jnp.logical_and(ciota == tabs - x0, valid), 1.0, 0.0
+    ).astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    rhs = wband[:, :, :].reshape(win, 8 * c_tile)
+    val = jax.lax.dot_general(
+        onehot, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # [k, 8*CT]
+    masked = jnp.where(valid, val, jnp.float32(NEG))
+    return jnp.max(masked.reshape(p, j_cap, 8 * c_tile), axis=1)
 
 
 def _band_max(band, wd, col, wlo, whi, p, hole_x=None):
@@ -553,6 +667,7 @@ def _fused_pool_kernel(
     #          write-after-read hazard against ROI i's stage-B MXU gathers —
     #          the single-band WAR chain serialized the whole per-ROI body
     band_b2,  # same (loop pool only) or None
+    wband_buf,  # [win, 8, CT] w-major band (w8hc stage B only) or None
     sem,
     *,
     p: int,
@@ -571,6 +686,7 @@ def _fused_pool_kernel(
     cls_wins=(),  # ((w_sl, j_cap), ...) per class id; w_sl None = wide
     nmajor: bool = False,
     n56c: bool = False,
+    w8hc: bool = False,
     meta_dma: bool = False,
     force_narrow: bool = False,
     row_unroll=None,  # static per-bin row cap (narrow plain path)
@@ -636,6 +752,31 @@ def _fused_pool_kernel(
                 load_m, moff + ri * mw, p, w_lim
             )
             wd = w_sl or w_dma
+            if w8hc and w_sl is not None:
+                x0 = jnp.clip(rx1, 0, w_dma - w_sl)
+                x0 = pl.multiple_of((x0 // 8) * 8, 8)
+                _fold_rows_carry_w(
+                    full_buf, wband_buf, hlo, hhi, x0, w_sl, p, c_tile
+                )
+                pooled_w = _onehot_gather_max_w(
+                    wband_buf, w_sl, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                    full_buf.dtype,
+                )  # [p(pw), 8*CT]
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (p, 8 * c_tile), 1
+                )
+                # empty bins AND the ph=7 pad lane block -> 0
+                pooled_w = jnp.where(
+                    jnp.logical_or(pooled_w <= NEG / 2, lane >= p * c_tile),
+                    0.0,
+                    pooled_w,
+                )
+                payload = jnp.pad(
+                    (pooled_w * gate).astype(out_ref.dtype),
+                    ((0, 8 - p), (0, 0)),
+                )
+                out_ref[0, i] = payload
+                return
             if w_sl is not None:
                 x0 = jnp.clip(rx1, 0, w_dma - w_sl)
                 x0 = pl.multiple_of((x0 // 8) * 8, 8)
@@ -1043,7 +1184,22 @@ def roi_pool_fused_batched(
     nd = len(tri)
     nmajor = out_layout == "nhwc"
     n56c = out_layout == "n56c"
-    if n56c:
+    w8hc = out_layout == "w8hc"
+    if w8hc:
+        # single-dot stage B (see _onehot_gather_max_w): per-ROI contiguous
+        # [8(pw, 7 padded), 8*CT(ph-blocks, ph=7 zeroed)] stores; consumer
+        # flattens the ADJACENT (pw, ph, c) minor dims — no relayout
+        assert not loop_pool and force_narrow and quant == "none", (
+            "w8hc currently supports the plain narrow fp path only"
+        )
+        out_spec = pl.BlockSpec(
+            tri + (1, roi_block, 8, 8 * c_tile),
+            lambda bi, ci, rbi, *_: (0,) * nd + (bi, rbi, 0, ci),
+        )
+        out_shapes = [
+            jax.ShapeDtypeStruct(tri + (b, n_pad, 8, 8 * c_take), out_dtype)
+        ]
+    elif n56c:
         # per-ROI CONTIGUOUS [56, CT] stores (see _write_out): output
         # [(3,) B, N_pad, 56, c_take]; the fc1 consumer contracts the
         # ADJACENT (56, c) minor dims, so no relayout on either side
@@ -1113,6 +1269,9 @@ def roi_pool_fused_batched(
     scratch.append(
         pltpu.VMEM((2, p, w_band, c_tile), feat.dtype) if loop_pool else None
     )
+    scratch.append(
+        pltpu.VMEM((win, 8, c_tile), feat.dtype) if w8hc else None
+    )
     scratch = [s for s in scratch if s is not None]
     scratch.append(pltpu.SemaphoreType.DMA)
     if meta_dma:
@@ -1153,9 +1312,13 @@ def roi_pool_fused_batched(
             rois_s, gate_s = meta_s, gate_s2
         if loop_pool:
             full, ba, bb, sem_ = rest
+            wb = None
+        elif w8hc:
+            full, ba, wb, sem_ = rest
+            bb = None
         else:
             full, ba, sem_ = rest
-            bb = None
+            bb = wb = None
         if meta_dma:
             bq = pl.program_id(0)
 
@@ -1184,12 +1347,12 @@ def roi_pool_fused_batched(
                     cp.wait()
         _fused_pool_kernel(
             rois_s, gate_s, cbase_s, src_s, cls_s, feat_ref, out_r, scale_r,
-            full, ba, bb, sem_,
+            full, ba, bb, wb, sem_,
             p=p, spatial_scale=spatial_scale, roi_block=roi_block,
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
             context_ratio=context_ratio, quant=quant,
-            cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c,
+            cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c, w8hc=w8hc,
             meta_dma=meta_dma,
             force_narrow=force_narrow, row_unroll=row_unroll, ablate=ablate,
         )
@@ -1225,7 +1388,7 @@ def roi_pool_fused_batched(
         out_shape=out_shapes if two_out else out_shapes[0],
         interpret=interpret or _INTERPRET,
     )(*scal_args, *call_inputs)
-    if nmajor or n56c:
+    if nmajor or n56c or w8hc:
         def payload_sl(x):  # [(3,) B, N_pad, ...] -> unpadded N
             return x[(slice(None),) * (nd + 1) + (slice(0, n),)]
     else:
