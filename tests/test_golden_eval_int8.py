@@ -88,6 +88,11 @@ def _cfg(name, prop_path, tmp_out, quant):
     cfg.TPU.ROI_ALIGN_KERNEL = "fused"
     cfg.TPU.DAN_FC1_QUANT = quant
     cfg.TPU.RPN_CONV_QUANT = quant
+    # covers the backbone shift-GEMM convs too whenever their default flips
+    # (the delta bound then guards all three quant surfaces together)
+    cfg.TPU.BACKBONE_CONV_QUANT = quant if (
+        get_cfg().TPU.BACKBONE_CONV_QUANT != "none"
+    ) else "none"
     cfg.OUTPUT_DIR = tmp_out
     return cfg
 

@@ -256,23 +256,88 @@ def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile,
     use it to eliminate the per-bin dynamic-loop overhead entirely."""
     neg = _neg_for(full_buf.dtype)
     h_cap = full_buf.shape[1] - 1
+    full_row = win == full_buf.shape[2]
+
+    def load(h):
+        # full-row bands skip the dynamic-sublane-offset slice entirely
+        if full_row:
+            return full_buf[0, h]
+        return full_buf[0, h, pl.ds(x0, win)]
+
     for ph in range(p):
         init = jnp.full((win, c_tile), neg, full_buf.dtype)
         if n_unroll is not None:
             acc = init
             for r in range(n_unroll):
                 h = jnp.minimum(hlo[ph] + r, h_cap)
-                row = full_buf[0, h, pl.ds(x0, win)]
-                acc = jnp.where(hlo[ph] + r < hhi[ph], jnp.maximum(acc, row), acc)
+                acc = jnp.where(
+                    hlo[ph] + r < hhi[ph], jnp.maximum(acc, load(h)), acc
+                )
             band[ph, :win] = acc
             continue
 
         def body(h, acc):
-            return jnp.maximum(acc, full_buf[0, h, pl.ds(x0, win)])
+            return jnp.maximum(acc, load(h))
 
         band[ph, :win] = jax.lax.fori_loop(
             hlo[ph], hhi[ph], body, init, unroll=False
         )
+
+
+def _fold_rows_interleaved(full_buf, band, hlo, hhi, x0, win, p, c_tile,
+                           branchless=False):
+    """Stage A with the p bins' row walks INTERLEAVED: one ``fori`` over
+    ``t = 0..max_bin_height``, each trip folding row ``hlo[ph] + t`` of
+    every bin. The p per-bin load->max chains are independent, so the
+    per-trip VMEM-load serialization of the sequential per-bin walk
+    (~0.7 us per row measured on v5e, CONSTANT across band widths 48..136)
+    can overlap p-ways. ROIPool bin heights are equal within +-1
+    (floor/ceil integer edges), so total row loads stay ~rh + p.
+    In-place band fold (read-modify-write) — the acc-carry form would hold
+    p*[win, CT] in registers and spill.
+
+    ``branchless``: instead of predicating each bin's fold on
+    ``t < hhi - hlo`` (a scalar branch per bin per trip — measured to eat
+    the entire interleaving win), CLAMP the row index to ``hhi - 1`` and
+    re-max (idempotent); bins that are empty altogether are reset to NEG
+    by a per-bin epilogue."""
+    neg = _neg_for(full_buf.dtype)
+    band[:, :win] = jnp.full((p, win, c_tile), neg, full_buf.dtype)
+    max_h = hhi[0] - hlo[0]
+    for ph in range(1, p):
+        max_h = jnp.maximum(max_h, hhi[ph] - hlo[ph])
+    full_row = win == full_buf.shape[2]
+
+    def load(h):
+        if full_row:
+            return full_buf[0, h]
+        return full_buf[0, h, pl.ds(x0, win)]
+
+    if branchless:
+        def body(t, _):
+            for ph in range(p):
+                h = jnp.minimum(hlo[ph] + t, jnp.maximum(hhi[ph] - 1, 0))
+                band[ph, :win] = jnp.maximum(band[ph, :win], load(h))
+            return 0
+
+        jax.lax.fori_loop(0, max_h, body, 0, unroll=False)
+        for ph in range(p):
+            @pl.when(hhi[ph] <= hlo[ph])
+            def _(ph=ph):
+                band[ph, :win] = jnp.full((win, c_tile), neg, full_buf.dtype)
+        return
+
+    def body(t, _):
+        for ph in range(p):
+            h = hlo[ph] + t
+
+            @pl.when(h < hhi[ph])
+            def _(ph=ph, h=h):
+                band[ph, :win] = jnp.maximum(band[ph, :win], load(h))
+
+        return 0
+
+    jax.lax.fori_loop(0, max_h, body, 0, unroll=False)
 
 
 def _fold_rows_carry_pair(
@@ -690,6 +755,16 @@ def _fused_pool_kernel(
     meta_dma: bool = False,
     force_narrow: bool = False,
     row_unroll=None,  # static per-bin row cap (narrow plain path)
+    stage_b: str = "dots",  # "dots" (7 per-ph gathers) | "bd" (block-diag)
+    fold: str = "seq",  # stage A row walk: "seq" per-bin carry | "il"
+    # p-way interleaved in-place | "il2" interleaved + branchless clamped
+    # re-max (see _fold_rows_interleaved)
+    wide_dot: bool = False,  # wide ROIs: full-row MXU gather stage B as a
+    # 3rd per-ROI pl.when body — MEASURED DEAD (mixed 703 vs 319 ms, and
+    # merely TRACING the extra body slowed all-narrow 183 -> 639: per-ROI
+    # bodies poison the whole program). Kept for documentation; the
+    # shipping wide-ROI fix is the width-split wide SEGMENT (win=w_dma +
+    # force_narrow — a separate single-body program).
     ablate: str = "",  # measurement-only: "nodot" | "nojg" | "cheapstore"
 ):
     b = pl.program_id(0)
@@ -741,10 +816,15 @@ def _fused_pool_kernel(
     if not loop_pool:
         def plain_body(i, w_sl, j_cap):
             """One ROI at a STATIC window class: ``w_sl`` px x-window with
-            ``j_cap`` one-hot candidates per bin, or the full-row wide path
-            (``w_sl=None``). Region metadata is precomputed vectorized in
-            XLA (_pack_region_meta) and prefetched: the kernel's per-ROI
-            scalar work drops to W SMEM loads + 2W shifts per c-tile."""
+            ``j_cap`` one-hot candidates per bin; the full-row MXU path
+            (``w_sl=None, j_cap`` set — stage A carry-folds the whole row,
+            stage B gather-dots with a width-sized candidate budget); or
+            the full-row VPU path (``w_sl=None, j_cap=None`` — masked band
+            maxes, the only exact form for bins wider than any static
+            ``j_cap``, i.e. unclipped monster ROIs). Region metadata is
+            precomputed vectorized in XLA (_pack_region_meta) and
+            prefetched: the kernel's per-ROI scalar work drops to W SMEM
+            loads + 2W shifts per c-tile."""
             ri = rbi * roi_block + i
             band_a = band_a2.at[i % 2]
             gate = load_g(goff + ri)
@@ -780,10 +860,16 @@ def _fused_pool_kernel(
             if w_sl is not None:
                 x0 = jnp.clip(rx1, 0, w_dma - w_sl)
                 x0 = pl.multiple_of((x0 // 8) * 8, 8)
-                _fold_rows_carry(
-                    full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile,
-                    n_unroll=row_unroll,
-                )
+                if fold in ("il", "il2"):
+                    _fold_rows_interleaved(
+                        full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile,
+                        branchless=(fold == "il2"),
+                    )
+                else:
+                    _fold_rows_carry(
+                        full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile,
+                        n_unroll=row_unroll,
+                    )
                 if ablate == "nodot":
                     # measurement: stage A + epilogue only (WRONG results)
                     pooled = band_a[:, :p].astype(jnp.float32)
@@ -795,6 +881,11 @@ def _fused_pool_kernel(
                     pooled = jnp.stack(
                         [v[:p].astype(jnp.float32) for v in vals]
                     )
+                elif stage_b == "bd":
+                    pooled = _onehot_gather_max_bd(
+                        band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                        full_buf.dtype,
+                    )
                 else:
                     # narrow ROI (bin width <= (w_sl-7)//p + 1 <= j_cap):
                     # MXU path
@@ -802,6 +893,21 @@ def _fused_pool_kernel(
                         band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
                         full_buf.dtype,
                     )
+            elif j_cap is not None:
+                # full-row MXU path: wide-but-clipped ROIs (rw <= 7*(j_cap
+                # - 1)). Stage B via the same exact gather dots as the
+                # narrow path — the VPU _band_max alternative costs ~23k
+                # vreg-ops per ROI-c-tile at wd=136 (~21 us measured, ~80
+                # ms/batch at the honest 19%-wide COCO mix) vs ~3-6 us of
+                # MXU dots.
+                x0 = jnp.int32(0)
+                _fold_rows_carry(
+                    full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
+                )
+                pooled = _onehot_gather_max(
+                    band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
+                    full_buf.dtype,
+                )
             else:
                 x0 = jnp.int32(0)
                 band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
@@ -852,16 +958,34 @@ def _fused_pool_kernel(
             # 266 ms pool-only vs 92 at j_cap=8 (k=56) on v5e — the
             # misaligned dot/reshape hits a Mosaic slow path
             j_cap_win = -(-(win - 7) // p) + 1
+            if win >= w_dma:
+                # full-row window (the width-split wide segment): the
+                # candidate budget must cover the widest CLIPPED bin,
+                # ceil((w_lim+1)/p) + 1 (rw <= w_lim + 1 for image-clipped
+                # boxes)
+                j_cap_win = max(j_cap_win, -(-(w_lim + 1) // p) + 1)
             for w_c, j_c in cls_wins:
                 if w_c is not None and w_c >= win and j_c >= j_cap_win:
                     j_cap_win = j_c
                     break
+            else:
+                # untabled budget (full-row windows): round up to 8 — the
+                # misaligned k = p*j_cap one-hot/reshape hits a Mosaic slow
+                # path (j_cap=7/k=49 measured 266 vs 184 ms at j_cap=8)
+                j_cap_win = -(-j_cap_win // 8) * 8
+            # full-row MXU candidate budget: covers every ROI whose UNCLIPPED
+            # width fits 7*(j_wide-1) — all image-clipped boxes at any
+            # resolution (bin width <= ceil(rw/p) + 1); rounded to 8 for the
+            # aligned one-hot/reshape shapes (k = p*j_cap)
+            j_wide = -(-(-(-w_lim // p) + 1) // 8) * 8
             for i in range(roi_block):
-                if force_narrow and narrow_enabled:
-                    # caller GUARANTEES every ROI fits the window (width-
-                    # split segments): the wide body is never traced, so the
-                    # ROI pays only the narrow walk — measuring whether
-                    # Mosaic executes both pl.when bodies predicated
+                if force_narrow:
+                    # caller GUARANTEES every ROI fits the window budget
+                    # (width-split segments): the wide body is never traced,
+                    # so the ROI pays only the windowed walk + gather dots.
+                    # At win == w_dma the "window" is the full row and the
+                    # guarantee is just that boxes are image-clipped (bin
+                    # width <= j_cap_win).
                     plain_body(i, win, j_cap_win)
                 elif narrow_enabled:
                     rw = load_m(moff + (rbi * roi_block + i) * mw) >> 16
@@ -871,9 +995,24 @@ def _fused_pool_kernel(
                     def _(i=i):
                         plain_body(i, win, j_cap_win)
 
-                    @pl.when(jnp.logical_not(narrow))
-                    def _(i=i):
-                        plain_body(i, None, None)
+                    if wide_dot:
+                        monster = rw > 7 * (j_wide - 1)
+
+                        @pl.when(jnp.logical_and(
+                            jnp.logical_not(narrow), jnp.logical_not(monster)
+                        ))
+                        def _(i=i):
+                            plain_body(i, None, j_wide)
+
+                        @pl.when(jnp.logical_and(
+                            jnp.logical_not(narrow), monster
+                        ))
+                        def _(i=i):
+                            plain_body(i, None, None)
+                    else:
+                        @pl.when(jnp.logical_not(narrow))
+                        def _(i=i):
+                            plain_body(i, None, None)
                 else:
                     plain_body(i, None, None)
         return
@@ -1013,7 +1152,8 @@ def _fused_pool_kernel(
     static_argnames=(
         "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
         "loop_pool", "context_ratio", "quant", "interpret", "out_layout",
-        "meta_dma", "win", "force_narrow", "row_unroll", "ablate",
+        "meta_dma", "win", "force_narrow", "row_unroll", "stage_b", "fold",
+        "wide_dot", "ablate",
     ),
 )
 def roi_pool_fused_batched(
@@ -1048,6 +1188,15 @@ def roi_pool_fused_batched(
     # stage-A fold: replaces each bin's dynamic-trip fori with a masked
     # unroll. Correct only when rh <= (row_unroll - 1) * output_size for
     # every valid ROI (value-thresholded height splits).
+    stage_b: str = "dots",  # narrow plain-pool stage B: "dots" = 7 per-ph
+    # gather dots; "bd" = ONE block-diag [p*k, p*wd] gather dot (see
+    # _onehot_candidates_bd)
+    fold: str = "seq",  # stage A: "seq" per-bin carry fold | "il" p-way
+    # interleaved in-place fold (see _fold_rows_interleaved)
+    wide_dot: bool = False,  # wide (rw > win-7) ROIs take a full-row-band
+    # MXU gather stage B as a 3rd per-ROI body — MEASURED DEAD on v5e
+    # (see _fused_pool_kernel wide_dot comment); use the width-split wide
+    # segment (win >= w_dma + force_narrow) instead.
     ablate: str = "",  # measurement-only stage ablations (WRONG results):
     # "nodot" skips stage B, "nojg" skips the j-group reduce, "cheapstore"
     # stores one [CT] row per ROI
@@ -1133,6 +1282,7 @@ def roi_pool_fused_batched(
         win = LOOP_WIN if loop_pool else POOL_WIN
     else:
         assert not loop_pool and win % 8 == 0, (win, loop_pool)
+        win = min(win, w_dma)  # full-row segment callers pass win >= w_dma
     narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
 
     pad = (-n) % roi_block
@@ -1354,7 +1504,8 @@ def roi_pool_fused_batched(
             context_ratio=context_ratio, quant=quant,
             cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c, w8hc=w8hc,
             meta_dma=meta_dma,
-            force_narrow=force_narrow, row_unroll=row_unroll, ablate=ablate,
+            force_narrow=force_narrow, row_unroll=row_unroll,
+            stage_b=stage_b, fold=fold, wide_dot=wide_dot, ablate=ablate,
         )
 
     if meta_dma:
