@@ -322,11 +322,12 @@ def get_cfg() -> CN:
     _C.TPU.RPN_CONV_QUANT = "int8"
     # "int8": res4/res5 backbone convs (incl. the MAC-dominant bottleneck
     # 1x1s) as int8 GEMMs — the same shift decomposition as the RPN conv,
-    # with dilation support for DC5/MRRP. Inference-scale numerics and a
-    # zero-gradient round(): only sound with the frozen backbone every
-    # shipped config uses (FREEZE_AT=5). Default off pending the on-chip
-    # A/B + the golden-eval delta guard (tests/test_golden_eval_int8.py
-    # covers it when enabled via its quant matrix).
+    # with dilation support for DC5/MRRP. MEASURED A NET LOSS on v5e
+    # (2026-08-19, scripts/bench_backbone_int8.py: 62.6 ms vs 39.3 bf16 at
+    # the B=8 688px bench shape) — unlike the single fat RPN conv, the
+    # stage is ~30 thin convs and the per-conv activation quantize passes
+    # (one full read+write of every intermediate) swamp the 2x MXU rate.
+    # Kept selectable for other backends/shapes; default stays fp.
     _C.TPU.BACKBONE_CONV_QUANT = "none"
 
     return _C

@@ -34,7 +34,10 @@ class ChunkedDenseGeneral(nn.Module):
     on TPU; ``n56c`` = ``[(3,) B, N, 56, c_i]`` — the (ph, pw)-flattened,
     zero-padded-to-56 layout of the kernels' sublane-aligned per-ROI store
     (the fc1 kernel rows are padded to 56 with zeros to match; the pad rows
-    of both operands are zero, so the product is exact).
+    of both operands are zero, so the product is exact); ``w8hc`` =
+    ``[B, N, 8(pw), 8*c_i]`` — the fused pool kernel's single-dot stage-B
+    layout (pw on sublanes, (ph, c) on lanes; pw=7 rows and ph=7 lane
+    blocks zero, matched by zero-padding the kernel, so exact).
 
     A chunk may also be a ``(int8 payload, per-ROI scale)`` tuple — the
     fused pooling kernels' pre-quantized emission (hwnc/n56c): the int8 GEMM
@@ -69,10 +72,14 @@ class ChunkedDenseGeneral(nn.Module):
         )
         hwnc = self.chunk_layout == "hwnc"
         n56c = self.chunk_layout == "n56c"
+        w8hc = self.chunk_layout == "w8hc"
         if hwnc:
             eq = "rbhwnc,hwcf->rbnf" if len(first.shape) == 6 else "bhwnc,hwcf->bnf"
         elif n56c:
             eq = "rbnkc,kcf->rbnf" if len(first.shape) == 5 else "bnkc,kcf->bnf"
+        elif w8hc:
+            assert len(first.shape) == 4, "w8hc chunks are plain-pool only"
+            eq = "bnwk,wkf->bnf"
         else:
             eq = "...hwc,hwcf->...f"
 
@@ -84,6 +91,12 @@ class ChunkedDenseGeneral(nn.Module):
                 # (both pads zero => the contraction is exact)
                 k = jnp.pad(k, ((0, 0), (0, 8 - p2), (0, 0), (0, 0)))
                 k = k.reshape(p1 * 8, ci, self.features)
+            elif w8hc:
+                # [p(ph), p(pw), ci, F] -> [8(pw), 8(ph)*ci, F]: the chunk's
+                # lane axis packs (ph-block, c); pads zero on both operands
+                k = jnp.transpose(k, (1, 0, 2, 3))
+                k = jnp.pad(k, ((0, 8 - p2), (0, 8 - p1), (0, 0), (0, 0)))
+                k = k.reshape(8, 8 * ci, self.features)
             return k
 
         acc = None
@@ -110,7 +123,7 @@ class ChunkedDenseGeneral(nn.Module):
             x = item[0] if pre_q else item
             ci = x.shape[-1]
             k = k_slice(c0, ci)
-            w_red = (0, 1) if n56c else (0, 1, 2)
+            w_red = (0, 1) if (n56c or w8hc) else (0, 1, 2)
             if pre_q and x.dtype == jnp.int8:
                 # fused-kernel int8 payload + scale (gate folded into scale)
                 assert hwnc or n56c, "pre-quantized chunks are hwnc/n56c only"
@@ -123,7 +136,7 @@ class ChunkedDenseGeneral(nn.Module):
                 # keep leading [(3,) B] and the N axis
                 if hwnc:
                     red = (x.ndim - 4, x.ndim - 3, x.ndim - 1)
-                elif n56c:
+                elif n56c or w8hc:
                     red = (x.ndim - 2, x.ndim - 1)
                 else:
                     red = tuple(range(x.ndim - 3, x.ndim))
@@ -146,7 +159,7 @@ class ChunkedDenseGeneral(nn.Module):
                 y = jnp.einsum(eq, x_q, k_q, preferred_element_type=jnp.int32)
                 if hwnc:
                     scale = jnp.squeeze(s_a, axis=(x.ndim - 4, x.ndim - 3))
-                elif n56c:
+                elif n56c or w8hc:
                     scale = jnp.squeeze(s_a, axis=(x.ndim - 1,))
                 else:
                     scale = jnp.squeeze(
@@ -209,10 +222,13 @@ class DiscriminativeAdaptationNeck(nn.Module):
                     if chunk_layout == "hwnc":
                         # [(3,) B, p, p, N, c_i] (or int8-payload tuples)
                         p1, p2 = first.shape[-4], first.shape[-3]
-                    elif chunk_layout == "n56c":
-                        # [(3,) B, N, 56, c_i]: (p, p) not recoverable from
-                        # the padded row count — the caller supplies it
-                        assert pooled_hw is not None, "n56c needs pooled_hw"
+                    elif chunk_layout in ("n56c", "w8hc"):
+                        # n56c [(3,) B, N, 56, c_i] / w8hc [B, N, 8, 8*c_i]:
+                        # (p, p) not recoverable from the padded row count —
+                        # the caller supplies it
+                        assert pooled_hw is not None, (
+                            f"{chunk_layout} needs pooled_hw"
+                        )
                         p1, p2 = pooled_hw
                     else:
                         p1, p2 = first.shape[-3:-1]
@@ -220,6 +236,8 @@ class DiscriminativeAdaptationNeck(nn.Module):
                         (c[0] if isinstance(c, tuple) else c).shape[-1]
                         for c in x
                     )
+                    if chunk_layout == "w8hc":
+                        c_total //= 8  # lane axis packs (ph-block, c)
                     x = ChunkedDenseGeneral(
                         d, in_shape=(p1, p2, c_total), dtype=self.dtype,
                         chunk_layout=chunk_layout,

@@ -77,6 +77,10 @@ class ConvNorm(nn.Module):
     # quantization; round() has zero gradient, so enable only with a frozen
     # backbone — every shipped config has FREEZE_AT=5). Other shapes fall
     # through to the fp conv. Set via TPU.BACKBONE_CONV_QUANT.
+    # MEASURED A NET LOSS as the backbone default on v5e (62.6 vs 39.3 ms,
+    # scripts/bench_backbone_int8.py): ~30 thin convs each pay an
+    # activation-quantize read+write that swamps the 2x MXU rate — unlike
+    # the single fat RPN conv where the same decomposition won 38 -> 29.
     quant: str = "none"
 
     @nn.compact

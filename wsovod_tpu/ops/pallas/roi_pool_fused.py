@@ -546,30 +546,120 @@ def _jgroup_max(vals, mask, p, j_cap, c_tile):
     return jnp.stack(outs, axis=0)
 
 
+def _onehot_gather_max_pyr(band, wd, rx1, rw, w_lim, p, c_tile, dtype,
+                           l_max, ablate=""):
+    """Stage B for the WIDE (full-row) path via an in-place range-max
+    PYRAMID + 5-span gather — replaces both prior wide forms (VPU
+    ``_band_max`` 49 masked full-band maxes and the j_cap~24 gather dots;
+    each measured ~890 ms all-wide vs ~175 narrow at the bench shape:
+    their cost scales with the per-bin candidate count).
+
+    Level j of the pyramid folds ``band[ph, x] = max(band[ph, x],
+    band[ph, x + 2^(j-1)])`` in place, so after running levels 1..k every
+    row x <= wd - 2^k holds the max over columns [x, x + 2^k). Each output
+    bin's max is then EXACTLY covered by S=5 spans of length 2^k:
+
+    - per-ROI scalar k = floor(log2(max(m - 1, 1))), m = rw // p;
+    - unclipped bin widths lie in [m, ceil(rw/p) + 1] (spread <= 2) and
+      image-clipping can shrink only the LAST bin by exactly 1 (pre-clipped
+      boxes: rx1 >= 0 and rx2 <= w_lim => whi overflows w_lim by at most
+      1), so widths lie in [max(m - 1, 1), m + 2] for nonempty bins;
+    - validity: 2^k <= m - 1 <= every width (k = 0 handles m <= 2);
+    - coverage: 5 spans with starts ``wlo + i*(width - 2^k)//4`` have gaps
+      <= ceil((width - 2^k)/4) <= 2^k  <=>  width <= 5*2^k, and
+      m + 2 <= 5*2^floor(log2(max(m-1,1))) holds for every m >= 0.
+
+    PRECONDITION: rois are image-clipped (every shipped caller clips;
+    un-clipped "monster" boxes whose interior bins straddle the image edge
+    can shrink a bin below 2^k — spans are then clamped inside the ROI but
+    may read past the bin's right edge, overestimating that bin). The VPU
+    ``_band_max`` path (``stage_b_wide='vpu'``) remains the exact form for
+    arbitrary boxes.
+
+    The dtype stays the feature dtype through the pyramid (max is
+    selection — bit-exact) and the gather dot accumulates f32 (exact: one
+    nonzero per row). Returns [p, p, CT] f32; empty bins NEG (caller
+    zeroes)."""
+    S = 5
+    m = rw // p
+    km1 = jnp.maximum(m - 1, 1)
+    k = jnp.int32(0)
+    for j in range(1, l_max + 1):
+        k = k + (km1 >= (1 << j)).astype(jnp.int32)
+    for lvl in range(1, l_max + 1):
+        s = 1 << (lvl - 1)
+
+        @pl.when(lvl <= k)
+        def _(s=s):
+            for ph in range(p):
+                band[ph, : wd - s] = jnp.maximum(
+                    band[ph, : wd - s], band[ph, s:wd]
+                )
+
+    if ablate == "pyronly":  # measurement: pyramid build, no gather (WRONG)
+        return band[:, :p].astype(jnp.float32)
+    two_k = jax.lax.shift_left(jnp.int32(1), k)
+    kr = p * S
+    kr_pad = -(-kr // 8) * 8
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (kr_pad, 1), 0)
+    ii = r_i % S
+    pwv = jnp.minimum(r_i // S, p - 1)
+    wlo_v = jnp.clip((pwv * rw) // p + rx1, 0, w_lim)
+    whi_v = jnp.clip(-((-(pwv + 1) * rw) // p) + rx1, 0, w_lim)
+    width = whi_v - wlo_v
+    hi = jnp.maximum(whi_v - two_k, wlo_v)
+    xs = jnp.clip(wlo_v + (ii * (width - two_k)) // (S - 1), wlo_v, hi)
+    valid = jnp.logical_and(width > 0, r_i < kr)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (kr_pad, wd), 1)
+    onehot = jnp.where(
+        jnp.logical_and(ciota == xs, valid), 1.0, 0.0
+    ).astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    acc_t = jnp.int32 if jnp.dtype(dtype) == jnp.int8 else jnp.float32
+    neg = jnp.int32(-(2 ** 30)) if acc_t == jnp.int32 else jnp.float32(NEG)
+    outs = []
+    for ph in range(p):
+        v = jax.lax.dot_general(
+            onehot, band[ph, :wd], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t, precision=prec,
+        )
+        if ablate == "nojg":  # measurement: dots only, no group max (WRONG)
+            outs.append(v[:p].astype(jnp.float32))
+            continue
+        g = jnp.max(
+            jnp.where(valid, v, neg).reshape(kr_pad // S, S, c_tile), axis=1
+        )[:p]
+        outs.append(g.astype(jnp.float32) if g.dtype != jnp.float32 else g)
+    return jnp.stack(outs, axis=0)
+
+
 def _fold_rows_carry_w(full_buf, wband, hlo, hhi, x0, win, p, c_tile):
-    """Stage A writing a W-MAJOR band ``[win, 8(ph), CT]`` (w8hc stage B):
+    """Stage A writing a W-MAJOR band ``[win, 8(ph)*CT]`` (w8hc stage B):
     same carry fold as ``_fold_rows_carry`` but each bin stores its
-    ``[win, CT]`` result at ph of the middle dim. The pad row ph=7 is never
-    written — the epilogue zeroes its lane block."""
+    ``[win, CT]`` result at LANE BLOCK ph (a contiguous, lane-tile-aligned
+    block store — the original ``[win, 8, CT]`` buffer put ph on the
+    SUBLANE axis, making every bin store a 1-of-8 masked-sublane write,
+    which measured 481 ms vs 175 for the whole sweep). The pad block ph=7
+    is never written — the epilogue zeroes its lanes."""
     neg = _neg_for(full_buf.dtype)
     for ph in range(p):
         def body(h, acc):
             return jnp.maximum(acc, full_buf[0, h, pl.ds(x0, win)])
 
         init = jnp.full((win, c_tile), neg, full_buf.dtype)
-        wband[:, ph] = jax.lax.fori_loop(
+        wband[:, ph * c_tile:(ph + 1) * c_tile] = jax.lax.fori_loop(
             hlo[ph], hhi[ph], body, init, unroll=False
         )
 
 
 def _onehot_gather_max_w(wband, win, x0, rx1, rw, w_lim, p, j_cap, c_tile,
                          dtype):
-    """w8hc stage B: ONE exact-gather dot per ROI. The w-major band
-    ``[win, 8(ph), CT]`` reshapes (free, 8-aligned minor merge) into the
-    rhs ``[win, 8*CT]``; the [p*j_cap, win] one-hot then gathers EVERY
-    (pw, j) candidate for ALL ph lane-blocks in a single
-    ``[56, win] x [win, 8*CT]`` matmul — vs 7 small dots at ~3% MXU
-    efficiency (fill/drain bound; measured ~67 ms of the 183 ms sweep).
+    """w8hc stage B: ONE exact-gather dot per ROI. The w-major band is
+    stored directly as the rhs ``[win, 8(ph)*CT]`` (ph = lane blocks); the
+    [p*j_cap, win] one-hot then gathers EVERY (pw, j) candidate for ALL ph
+    lane-blocks in a single ``[56, win] x [win, 8*CT]`` matmul — vs 7
+    small dots at ~3% MXU efficiency (fill/drain bound; measured ~67 ms of
+    the 183 ms sweep).
     Returns ``[p(pw), 8*CT]`` f32 (ph in the lane blocks; pad lanes
     ph=7 hold garbage — callers zero them)."""
     k = p * j_cap
@@ -585,7 +675,7 @@ def _onehot_gather_max_w(wband, win, x0, rx1, rw, w_lim, p, j_cap, c_tile,
         jnp.logical_and(ciota == tabs - x0, valid), 1.0, 0.0
     ).astype(dtype)
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    rhs = wband[:, :, :].reshape(win, 8 * c_tile)
+    rhs = wband[:, :]
     val = jax.lax.dot_general(
         onehot, rhs, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
@@ -756,6 +846,10 @@ def _fused_pool_kernel(
     force_narrow: bool = False,
     row_unroll=None,  # static per-bin row cap (narrow plain path)
     stage_b: str = "dots",  # "dots" (7 per-ph gathers) | "bd" (block-diag)
+    stage_b_wide: str = "pyr",  # wide full-row stage B: "pyr" = range-max
+    # pyramid + 5-span gather (see _onehot_gather_max_pyr; requires
+    # image-clipped rois) | "vpu" = the exact-for-any-box _band_max
+    l_max: int = 5,  # static pyramid depth (from w_dma at the entry)
     fold: str = "seq",  # stage A row walk: "seq" per-bin carry | "il"
     # p-way interleaved in-place | "il2" interleaved + branchless clamped
     # re-max (see _fold_rows_interleaved)
@@ -908,6 +1002,19 @@ def _fused_pool_kernel(
                     band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
                     full_buf.dtype,
                 )
+            elif stage_b_wide == "pyr":
+                # wide full-row pyramid stage B (see _onehot_gather_max_pyr)
+                x0 = jnp.int32(0)
+                _fold_rows_carry(
+                    full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
+                )
+                if ablate == "nodot":
+                    pooled = band_a[:, :p].astype(jnp.float32)
+                else:
+                    pooled = _onehot_gather_max_pyr(
+                        band_a, wd, rx1, rw, w_lim, p, c_tile,
+                        full_buf.dtype, l_max, ablate=ablate,
+                    )
             else:
                 x0 = jnp.int32(0)
                 band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
@@ -985,8 +1092,13 @@ def _fused_pool_kernel(
                     # so the ROI pays only the windowed walk + gather dots.
                     # At win == w_dma the "window" is the full row and the
                     # guarantee is just that boxes are image-clipped (bin
-                    # width <= j_cap_win).
-                    plain_body(i, win, j_cap_win)
+                    # width <= j_cap_win); the pyramid form then replaces
+                    # the width-sized j-dot budget unless stage_b_wide
+                    # selects otherwise.
+                    if win >= w_dma and stage_b_wide == "pyr":
+                        plain_body(i, None, None)
+                    else:
+                        plain_body(i, win, j_cap_win)
                 elif narrow_enabled:
                     rw = load_m(moff + (rbi * roi_block + i) * mw) >> 16
                     narrow = rw <= win - 7
@@ -1152,8 +1264,8 @@ def _fused_pool_kernel(
     static_argnames=(
         "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
         "loop_pool", "context_ratio", "quant", "interpret", "out_layout",
-        "meta_dma", "win", "force_narrow", "row_unroll", "stage_b", "fold",
-        "wide_dot", "ablate",
+        "meta_dma", "win", "force_narrow", "row_unroll", "stage_b",
+        "stage_b_wide", "fold", "wide_dot", "ablate",
     ),
 )
 def roi_pool_fused_batched(
@@ -1191,6 +1303,10 @@ def roi_pool_fused_batched(
     stage_b: str = "dots",  # narrow plain-pool stage B: "dots" = 7 per-ph
     # gather dots; "bd" = ONE block-diag [p*k, p*wd] gather dot (see
     # _onehot_candidates_bd)
+    stage_b_wide: str = "pyr",  # wide full-row stage B: "pyr" = in-place
+    # range-max pyramid + 5-span gather (exact for image-clipped rois —
+    # every shipped caller clips; see _onehot_gather_max_pyr) | "vpu" =
+    # _band_max, exact for arbitrary boxes (measured ~5x slower all-wide)
     fold: str = "seq",  # stage A: "seq" per-bin carry fold | "il" p-way
     # interleaved in-place fold (see _fold_rows_interleaved)
     wide_dot: bool = False,  # wide (rw > win-7) ROIs take a full-row-band
@@ -1284,6 +1400,9 @@ def roi_pool_fused_batched(
         assert not loop_pool and win % 8 == 0, (win, loop_pool)
         win = min(win, w_dma)  # full-row segment callers pass win >= w_dma
     narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
+    # static pyramid depth: k <= floor(log2(max(m_max - 1, 1))) for
+    # image-clipped ROIs (m_max = max rw // p = (w + 1) // p)
+    l_max = max((max((w + 1) // p - 1, 1)).bit_length() - 1, 1)
 
     pad = (-n) % roi_block
     n_pad = n + pad
@@ -1420,7 +1539,7 @@ def roi_pool_fused_batched(
         pltpu.VMEM((2, p, w_band, c_tile), feat.dtype) if loop_pool else None
     )
     scratch.append(
-        pltpu.VMEM((win, 8, c_tile), feat.dtype) if w8hc else None
+        pltpu.VMEM((win, 8 * c_tile), feat.dtype) if w8hc else None
     )
     scratch = [s for s in scratch if s is not None]
     scratch.append(pltpu.SemaphoreType.DMA)
@@ -1505,7 +1624,8 @@ def roi_pool_fused_batched(
             cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c, w8hc=w8hc,
             meta_dma=meta_dma,
             force_narrow=force_narrow, row_unroll=row_unroll,
-            stage_b=stage_b, fold=fold, wide_dot=wide_dot, ablate=ablate,
+            stage_b=stage_b, stage_b_wide=stage_b_wide, l_max=l_max,
+            fold=fold, wide_dot=wide_dot, ablate=ablate,
         )
 
     if meta_dma:
