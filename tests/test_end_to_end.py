@@ -253,3 +253,91 @@ def test_mixed_datasets_model_two_sources():
             rngs={"dropout": jax.random.PRNGKey(4)},
         )
         assert np.isfinite(float(sum(jnp.asarray(v) for v in losses.values())))
+
+
+def test_cli_train_resume_continues(synth_dataset, tmp_path):
+    """--resume (reference tools/train_net.py:71): a killed run restarted
+    with resume=True continues from the last checkpoint — step counter and
+    optimizer state carry over instead of restarting."""
+    from wsovod_tpu.engine.trainer import WSOVODTrainer
+
+    name, prop_path = synth_dataset
+    cfg = _cfg(name, prop_path)
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN = "rand"
+    cfg.TPU.MESH_SHAPE = [2]  # B=2 on the 8-device CPU test mesh
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SOLVER.CHECKPOINT_PERIOD = 1000  # rely on model_final
+
+    t1 = WSOVODTrainer(cfg)
+    s1 = t1.train()
+    assert int(s1.step) == 3
+
+    cfg2 = _cfg(name, prop_path)
+    cfg2.OUTPUT_DIR = str(tmp_path)
+    cfg2.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN = "rand"
+    cfg2.TPU.MESH_SHAPE = [2]  # B=2 on the 8-device CPU test mesh
+    cfg2.SOLVER.MAX_ITER = 5
+    cfg2.SOLVER.CHECKPOINT_PERIOD = 1000
+    t2 = WSOVODTrainer(cfg2, resume=True)
+    assert t2.resumed, "resume=True did not pick up the checkpoint"
+    assert int(t2.state.step) == 3, "step counter restarted instead of resuming"
+    # optimizer state carried over: momentum buffers are nonzero (a fresh
+    # optax init is all zeros)
+    mom = sum(
+        float(np.abs(np.asarray(l)).sum())
+        for l in jax.tree_util.tree_leaves(t2.state.opt_state)
+        if hasattr(l, "dtype") and np.issubdtype(np.asarray(l).dtype, np.floating)
+    )
+    assert mom > 0.0, "optimizer state restarted (all-zero momentum)"
+    s2 = t2.train()
+    assert int(s2.step) == 5
+
+    # and a FRESH (no-resume) trainer in the same dir restarts from 0
+    cfg3 = _cfg(name, prop_path)
+    cfg3.OUTPUT_DIR = str(tmp_path)
+    cfg3.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN = "rand"
+    cfg3.TPU.MESH_SHAPE = [2]  # B=2 on the 8-device CPU test mesh
+    t3 = WSOVODTrainer(cfg3, resume=False)
+    assert not t3.resumed and int(t3.state.step) == 0
+
+
+def test_cli_eval_only_tta_verify(synth_dataset, tmp_path, monkeypatch):
+    """--eval-only with TEST.AUG.ENABLED dispatches the TTA pass (results
+    keyed name_TTA) and runs verify_results against TEST.EXPECTED_RESULTS
+    (reference tools/train_net.py:58-62)."""
+    import importlib.util
+    import argparse
+
+    name, prop_path = synth_dataset
+    cfg = _cfg(name, prop_path)
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TRAIN = "rand"
+    cfg.TPU.MESH_SHAPE = [2]  # B=2 on the 8-device CPU test mesh
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (48, 64)
+    cfg.TEST.AUG.MAX_SIZE = 96
+    cfg.TEST.AUG.FLIP = True
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    # an impossible expectation must be DETECTED (verify_results returns
+    # False) without crashing the eval
+    cfg.TEST.EXPECTED_RESULTS = [["bbox", "AP50", 200.0, 0.0]]
+
+    spec = importlib.util.spec_from_file_location(
+        "wsovod_train_net", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "train_net.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "setup", lambda args: cfg)
+
+    args = argparse.Namespace(
+        config_file="", eval_only=True, resume=False, num_gpus=0,
+        num_machines=1, machine_rank=0, dist_url="auto", opts=[],
+    )
+    results = mod.main(args)
+    assert name in results and (name + "_TTA") in results
+    assert np.isfinite(results[name]["bbox"]["AP50"])
+    assert np.isfinite(results[name + "_TTA"]["bbox"]["AP50"])

@@ -173,7 +173,7 @@ def test_tta_driver_smoke(two_datasets, tmp_path):
     params = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False,
                         embeddings=emb)
     results = test_with_TTA_WSL(cfg, model, params, embeddings=emb)
-    res = results[names[0]]["bbox"]
+    res = results[names[0] + "_TTA"]["bbox"]
     assert "AP50" in res and np.isfinite(res["AP50"])
 
 
@@ -219,5 +219,5 @@ def test_tta_driver_union(two_datasets, tmp_path):
     params = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False,
                         embeddings=emb)
     results = test_with_TTA_WSL(cfg, model, params, embeddings=emb)
-    res = results[names[0]]["bbox"]
+    res = results[names[0] + "_TTA"]["bbox"]
     assert "AP50" in res and np.isfinite(res["AP50"])

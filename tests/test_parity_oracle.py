@@ -345,3 +345,197 @@ def test_predict_K_averaging_oracle():
         apply_deltas(jnp.asarray(mean_d), jnp.asarray(pboxes), weights=(10.0, 10.0, 5.0, 5.0))
     )
     np.testing.assert_allclose(boxes, want_boxes, rtol=1e-5, atol=1e-4)
+
+
+# -------------------------------------------- refined-box mining feed (RPN)
+@pytest.mark.parametrize("mixed", [False, True])
+def test_rpn_pgt_uses_refined_boxes_oracle(mixed, monkeypatch):
+    """The RPN pseudo-GT must be mined from the refinery's REGRESSED boxes
+    (reference roi_heads.py:823-829,872-881: prev_pred_boxes =
+    box_refinery[k].predict_boxes = apply_deltas(deltas_k, proposal_boxes),
+    fast_rcnn_open_vocabulary.py:961-985), not the raw proposals — for both
+    the plain and the mixed heads. The torch oracle re-derives the decode
+    and the top-1 selection with nonzero deltas."""
+    from wsovod_tpu.models.poolers import ROIPooler
+    from wsovod_tpu.models.roi_heads import WSOVODROIHeads
+    from wsovod_tpu.models.roi_heads_mixed import WSOVODMixedDatasetsROIHeads
+    from wsovod_tpu.models.mining import get_image_level_gt
+    from wsovod_tpu.structures.instances import Instances
+
+    rng = np.random.RandomState(17)
+    b, n, c_feat, C = 2, 16, 128, 4
+    feats = {
+        "res5": jnp.asarray(np.abs(rng.randn(b, 10, 12, c_feat)).astype(np.float32))
+    }
+    pb = np.stack([_rand_boxes(rng, n, span=30.0) for _ in range(b)])
+    proposals = Instances(
+        jnp.ones((b, n), bool),
+        proposal_boxes=jnp.asarray(pb),
+        objectness_logits=jnp.asarray(rng.rand(b, n).astype(np.float32)),
+    )
+    gt_classes = jnp.asarray(rng.randint(0, C, (b, 3)))
+    gt_valid = jnp.ones((b, 3), bool)
+    emb = jnp.asarray(rng.randn(C, 8).astype(np.float32))
+
+    kw = dict(
+        num_classes=C,
+        pooler=ROIPooler(7, scales=[0.25], pooler_type="ROIPool"),
+        dan_fc_dims=(16, 16), refine_k=1, refine_reg=(True,),
+        ov_weight_dim=8, rpn_on=True, sampling_batch_size=(64,),
+    )
+    if mixed:
+        heads = WSOVODMixedDatasetsROIHeads(
+            dataset_names=("voc_synth",), num_classes_list=(C,), **kw
+        )
+        call_kw = dict(source_id=0)
+    else:
+        heads = WSOVODROIHeads(**kw)
+        call_kw = {}
+
+    key = jax.random.PRNGKey(3)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(9)}
+    params = heads.init(
+        rngs, feats, proposals, gt_classes, gt_valid, embeddings=emb, rng=key,
+        **call_kw,
+    )
+    # force NONZERO regression deltas so refined boxes differ from proposals
+    bp = params["params"]["box_refinery_0"]["bbox_pred"]
+    bp["kernel"] = jnp.asarray(
+        rng.randn(*np.asarray(bp["kernel"]).shape).astype(np.float32) * 0.02
+    )
+    bp["bias"] = jnp.asarray([0.5, -0.3, 0.2, 0.1], np.float32)
+
+    out = heads.apply(
+        params, feats, proposals, gt_classes, gt_valid, embeddings=emb,
+        rng=key, rngs={"dropout": jax.random.PRNGKey(9)}, **call_kw,
+    )
+    assert out.proposal_targets is not None
+
+    # re-extract the refinery's raw predictions with the same params/rngs
+    # (flax dropout rngs are path-derived, so the replay is deterministic)
+    def extract(m, feats, proposals):
+        roi_feats, miner_feats = m._pooled_box_features(
+            feats, proposals, None, train=True
+        )
+        miner = m.object_miners[m._miner_index[0]] if mixed else m.object_miner
+        mil = miner(miner_feats, proposals.valid)
+        s, d = m.box_refinery[0](
+            roi_feats, classifier=None, append_background=True, embeddings=emb
+        )
+        return miner.predict_probs_img(mil), s, d
+
+    img_logits, scores, deltas = heads.apply(
+        params, feats, proposals, method=extract,
+        rngs={"dropout": jax.random.PRNGKey(9)},
+    )
+
+    # torch oracle: decode = d2 apply_deltas with the (10,10,5,5) weights
+    w = (10.0, 10.0, 5.0, 5.0)
+    dt = torch.tensor(np.asarray(deltas, np.float32))
+    st = torch.tensor(pb)
+    sw, sh = st[..., 2] - st[..., 0], st[..., 3] - st[..., 1]
+    scx, scy = st[..., 0] + 0.5 * sw, st[..., 1] + 0.5 * sh
+    clamp = math.log(1000.0 / 16)
+    dx, dy = dt[..., 0] / w[0], dt[..., 1] / w[1]
+    dw = torch.clamp(dt[..., 2] / w[2], max=clamp)
+    dh = torch.clamp(dt[..., 3] / w[3], max=clamp)
+    pcx, pcy = dx * sw + scx, dy * sh + scy
+    pw, ph = torch.exp(dw) * sw, torch.exp(dh) * sh
+    decoded = torch.stack(
+        [pcx - 0.5 * pw, pcy - 0.5 * ph, pcx + 0.5 * pw, pcy + 0.5 * ph], -1
+    ).numpy()
+    # deltas really are nonzero: decoded boxes differ from the proposals
+    assert np.abs(decoded - pb).max() > 0.5
+
+    # expected pgt: top-1 per present class over softmax scores on the
+    # DECODED boxes (pgt_top_k itself is oracle-tested above)
+    prev = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    _, _, present = jax.vmap(lambda c, v: get_image_level_gt(c, v, C))(
+        gt_classes, gt_valid
+    )
+    want = jax.vmap(
+        lambda bx, s, v, p, wl: pgt_top_k(bx, s[:, :C], v, p, wl, top_k=1)
+    )(
+        jnp.asarray(decoded), prev, proposals.valid, present,
+        jax.lax.stop_gradient(img_logits),
+    )
+    got = out.proposal_targets
+    gv = np.asarray(got.valid)
+    np.testing.assert_array_equal(gv, np.asarray(want.valid))
+    np.testing.assert_allclose(
+        np.asarray(got.boxes)[gv], np.asarray(want.boxes)[np.asarray(want.valid)],
+        rtol=1e-5, atol=1e-4,
+    )
+    # and they must NOT be raw proposal rows
+    for bi in range(b):
+        for g in np.nonzero(gv[bi])[0]:
+            box = np.asarray(got.boxes)[bi, g]
+            assert np.abs(pb[bi] - box).max(axis=-1).min() > 1e-3
+
+
+# ---------------------------------------- sampling_on=False plain labeling
+def test_label_and_sample_plain_oracle():
+    """SAMPLING_ON=False fallback == the plain d2 label_and_sample_proposals
+    (reference roi_heads.py:287-408 via :810-815): ROI_HEADS matcher, NO
+    subsampling (_sample_proposals :245-277 early-returns every row),
+    matched rows get the pgt class/box/score/weight, unmatched background,
+    matcher-ignore -1."""
+    from wsovod_tpu.models.mining import PseudoGT, label_and_sample_plain
+
+    rng = np.random.RandomState(11)
+    P, G, C = 40, 6, 5
+    pb = _rand_boxes(rng, P, span=120.0)
+    gb = _rand_boxes(rng, G, span=120.0)
+    # make some proposals EXACT copies of gt so matches exist
+    pb[3], pb[17], pb[29] = gb[0], gb[2], gb[4]
+    g_valid = np.array([1, 1, 1, 1, 0, 0], bool)
+    g_cls = rng.randint(0, C, G).astype(np.int32)
+    g_sc = rng.uniform(0.2, 1.0, G).astype(np.float32)
+    g_w = rng.uniform(0.1, 1.0, G).astype(np.float32)
+    p_valid = np.ones(P, bool)
+    p_valid[-3:] = False
+
+    matcher = Matcher([0.3, 0.6], [0, -1, 1], allow_low_quality_matches=False)
+    pgt = PseudoGT(
+        jnp.asarray(gb), jnp.asarray(g_cls), jnp.asarray(g_sc),
+        jnp.asarray(g_w), jnp.asarray(g_valid),
+    )
+    got = label_and_sample_plain(
+        jnp.asarray(pb), jnp.asarray(p_valid), pgt, matcher, C
+    )
+
+    # torch oracle: d2 Matcher + plain labeling
+    pt, gt_ = torch.tensor(pb), torch.tensor(gb[g_valid])
+    area_p = (pt[:, 2] - pt[:, 0]).clamp(min=0) * (pt[:, 3] - pt[:, 1]).clamp(min=0)
+    area_g = (gt_[:, 2] - gt_[:, 0]).clamp(min=0) * (gt_[:, 3] - gt_[:, 1]).clamp(min=0)
+    lt = torch.max(gt_[:, None, :2], pt[None, :, :2])
+    rb = torch.min(gt_[:, None, 2:], pt[None, :, 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    iou = inter / (area_g[:, None] + area_p[None, :] - inter)
+    best, idx = iou.max(dim=0)
+    label = torch.full((P,), 0, dtype=torch.int64)
+    label[(best >= 0.3) & (best < 0.6)] = -1
+    label[best >= 0.6] = 1
+    vi = np.nonzero(g_valid)[0]
+    want_cls = np.where(
+        label.numpy() == 1, g_cls[vi][idx.numpy()], np.int32(C)
+    )
+    want_cls = np.where(label.numpy() == -1, -1, want_cls)
+    want_cls = np.where(p_valid, want_cls, -1)
+
+    np.testing.assert_array_equal(np.asarray(got.gt_classes), want_cls)
+    m = label.numpy() == 1
+    np.testing.assert_allclose(
+        np.asarray(got.gt_boxes)[m], gb[vi][idx.numpy()][m], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.gt_scores)[m], g_sc[vi][idx.numpy()][m], rtol=1e-6
+    )
+    keep = want_cls != -1
+    np.testing.assert_allclose(
+        np.asarray(got.gt_weights)[keep], g_w[vi][idx.numpy()][keep], rtol=1e-6
+    )
+    assert (np.asarray(got.gt_weights)[~keep] == 0).all()
+    # NO subsampling: every valid matched row keeps its class label
+    assert (np.asarray(got.gt_classes)[m & p_valid] == want_cls[m & p_valid]).all()

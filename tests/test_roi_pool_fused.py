@@ -83,6 +83,39 @@ def test_fused_roi_loop_pool_exact(scale):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("p", [14, 6, 8])
+def test_fused_roi_pool_nondefault_resolution(p):
+    """Pooled resolutions where p*5 is NOT 8-aligned (d2-default 14, odd 6)
+    must be exact through the wide pyramid stage B — the round-4 kr_pad
+    rounding to 8 alone crashed the reshape-by-S at p=14 (70 -> 72)."""
+    feat, rois, gate = _mk(23, w=60, n=16, wide_frac=0.6)
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, output_size=p, spatial_scale=0.25, interpret=True
+    )
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2, 4))
+    ref = jnp.stack(
+        [roi_pool(feat[b], rois[b], p, 0.25) for b in range(feat.shape[0])]
+    )
+    want = np.asarray(ref * gate[:, :, None, None, None])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", [14, 6])
+def test_fused_roi_loop_pool_nondefault_resolution(p):
+    feat, rois, gate = _mk(29, w=60, n=16, wide_frac=0.6)
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, output_size=p, spatial_scale=0.25, loop_pool=True,
+        interpret=True,
+    )
+    got = np.transpose(np.asarray(out), (0, 1, 4, 2, 3, 5))
+    ref = jnp.stack(
+        [roi_loop_pool(feat[b], rois[b], p, 0.25) for b in range(feat.shape[0])],
+        axis=1,
+    )
+    want = np.asarray(ref * gate[None, :, :, None, None, None])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_fused_pool_channel_chunking():
     feat, rois, gate = _mk(3, c=256)
     full = rpf.roi_pool_fused_batched(
@@ -953,3 +986,26 @@ def test_fused_pool_force_narrow_row_unroll_exact():
             win=win, force_narrow=True, row_unroll=unroll,
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_pool_pipe_exact():
+    """Software-pipelined force_narrow blocks (A(i+1) before B(i)) are
+    bit-exact vs the serial loop."""
+    rng = np.random.RandomState(7)
+    b, h, w, c, n = 2, 20, 29, 128, 24
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    xy = rng.uniform(0, 60, (b, n, 2))
+    wh = rng.uniform(2, 40, (b, n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2, (b, n)).astype(np.float32))
+    for quant in ("none", "int8"):
+        ref = rpf.roi_pool_fused_batched(
+            feat, rois, gate, spatial_scale=0.25, interpret=True,
+            win=24, force_narrow=True, quant=quant, pipe=False,
+        )
+        got = rpf.roi_pool_fused_batched(
+            feat, rois, gate, spatial_scale=0.25, interpret=True,
+            win=24, force_narrow=True, quant=quant, pipe=True,
+        )
+        for a, b_ in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))

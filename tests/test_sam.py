@@ -223,3 +223,61 @@ def test_roi_heads_bbox_refine_prompt_cap():
     )
     for v in out.losses.values():
         assert np.isfinite(float(v))
+
+
+def test_mixed_roi_heads_with_bbox_refine():
+    """Mixed-dataset train path runs SAM BBOX_REFINE (reference
+    roi_heads.py:2261,2272,2344): with grafted SAM params the RPN pseudo-GT
+    boxes must DIFFER from the unrefined run, and losses stay finite."""
+    from wsovod_tpu.models.poolers import ROIPooler
+    from wsovod_tpu.models.roi_heads_mixed import WSOVODMixedDatasetsROIHeads
+    from wsovod_tpu.structures.instances import Instances
+
+    pooler = ROIPooler(output_size=7, scales=[1.0 / 8], pooler_type="ROIAlignV2")
+    heads = WSOVODMixedDatasetsROIHeads(
+        num_classes=3, pooler=pooler, dan_fc_dims=(16, 16), refine_k=1,
+        refine_reg=(True,), ov_weight_dim=8, rpn_on=True,
+        bbox_refine=True, sam_img_size=64,
+        dataset_names=("voc_a", "coco_b"), num_classes_list=(3, 5),
+    )
+    rng = np.random.RandomState(0)
+    feats = {"res5": jax.random.normal(KEY, (1, 8, 8, 16))}
+    b = rng.uniform(0, 40, (1, 6, 2))
+    proposals = Instances(
+        jnp.ones((1, 6), bool),
+        proposal_boxes=jnp.asarray(np.concatenate([b, b + 15], -1).astype(np.float32)),
+        objectness_logits=jnp.asarray(rng.rand(1, 6).astype(np.float32)),
+        level_ids=jnp.zeros((1, 6), jnp.int32),
+    )
+    emb = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    sam_embed = jax.random.normal(KEY, (1, 4, 4, 256))
+    sam_scale = jnp.ones((1,))
+    gt_classes = jnp.asarray([[0, 1]])
+    gt_valid = jnp.ones((1, 2), bool)
+    params = heads.init(
+        {"params": KEY, "dropout": jax.random.PRNGKey(1)},
+        feats, proposals, gt_classes, gt_valid, source_id=0,
+        embeddings=emb, rng=jax.random.PRNGKey(2),
+        sam_embed=sam_embed, sam_scale=sam_scale,
+    )
+    assert "sam_refiner" in params["params"]
+    out_sam = heads.apply(
+        params, feats, proposals, gt_classes, gt_valid, source_id=0,
+        embeddings=emb, rng=jax.random.PRNGKey(3),
+        sam_embed=sam_embed, sam_scale=sam_scale,
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    out_plain = heads.apply(
+        params, feats, proposals, gt_classes, gt_valid, source_id=0,
+        embeddings=emb, rng=jax.random.PRNGKey(3),
+        rngs={"dropout": jax.random.PRNGKey(4)},
+    )
+    for v in out_sam.losses.values():
+        assert np.isfinite(float(v))
+    gt = out_sam.proposal_targets
+    gp = out_plain.proposal_targets
+    assert gt is not None and gp is not None
+    vs = np.asarray(gt.valid) & np.asarray(gp.valid)
+    assert vs.any()
+    diff = np.abs(np.asarray(gt.boxes)[vs] - np.asarray(gp.boxes)[vs]).max()
+    assert diff > 1e-3, "SAM refinement did not change the mixed RPN pseudo-GT"

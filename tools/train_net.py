@@ -130,13 +130,30 @@ def main(args):
             embeddings=jnp.asarray(emb) if emb is not None else None,
             classifier=jnp.asarray(test_emb) if test_emb is not None else None,
         )
+        # reference tools/train_net.py:58-62: TTA pass when TEST.AUG.ENABLED,
+        # then verify_results against TEST.EXPECTED_RESULTS
+        if cfg.TEST.AUG.ENABLED:
+            from wsovod_tpu.engine.evaluator import test_with_TTA_WSL
+
+            results.update(
+                test_with_TTA_WSL(
+                    cfg, model, state.params,
+                    embeddings=jnp.asarray(emb) if emb is not None else None,
+                    classifier=(
+                        jnp.asarray(test_emb) if test_emb is not None else None
+                    ),
+                )
+            )
+        from wsovod_tpu.engine.hooks import verify_results
+
+        verify_results(cfg, results)
         print(results)
         return results
 
     from wsovod_tpu.engine.trainer import WSOVODTrainer, WSOVODTrainer_MixedDatasets
 
     trainer_cls = WSOVODTrainer_MixedDatasets if mixed else WSOVODTrainer
-    trainer = trainer_cls(cfg)
+    trainer = trainer_cls(cfg, resume=args.resume)
     return trainer.train()
 
 

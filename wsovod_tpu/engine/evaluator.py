@@ -258,6 +258,8 @@ def test_with_TTA_WSL(cfg, model, params, embeddings=None, classifier=None):
                     cfg.TEST.DETECTIONS_PER_IMAGE,
                 )
                 evaluator.process(rec["image_id"], boxes, scores, classes)
-        results[name] = evaluator.evaluate()
-        logger.info("TTA %s: %s", name, results[name])
+        # keyed name_TTA so an eval-only res.update() never clobbers the
+        # plain pass (reference trainer.py:127,162 OrderedDict k+"_TTA")
+        results[name + "_TTA"] = evaluator.evaluate()
+        logger.info("TTA %s: %s", name, results[name + "_TTA"])
     return results

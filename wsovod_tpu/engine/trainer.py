@@ -46,7 +46,7 @@ def load_class_embeddings(path: str) -> Optional[np.ndarray]:
 
 
 class WSOVODTrainer:
-    def __init__(self, cfg):
+    def __init__(self, cfg, resume: bool = False):
         cfg = auto_scale_workers(cfg, jax.device_count())
         self.cfg = cfg
         self.model = build_model(cfg)
@@ -78,10 +78,14 @@ class WSOVODTrainer:
         if "vgg" in cfg.MODEL.BACKBONE.NAME:
             pooled_c = 512
         state = self._graft_sam_refiner(state)
+        # train-mode --resume (reference tools/train_net.py:71
+        # trainer.resume_or_load(resume=args.resume)): picks up the last
+        # checkpoint in OUTPUT_DIR — step counter and optimizer state
+        # continue, they do not restart
         self.state, self.resumed = self.checkpointer.resume_or_load(
             state,
             cfg.MODEL.WEIGHTS,
-            resume=False,
+            resume=resume,
             model_cfg={
                 "depth": depth,
                 "pooled_shape": (
@@ -258,6 +262,25 @@ class WSOVODTrainer:
 
         self.state = jax.device_get(state)
         self.checkpointer.save("model_final", self.state)
+        # reference registers EvalHook(0, test_with_TTA_WSL) when
+        # TEST.AUG.ENABLED (tools/train_net.py:72-77); d2's period-0 EvalHook
+        # fires once after the FINAL iteration — same moment as here
+        if cfg.TEST.AUG.ENABLED:
+            try:
+                from .evaluator import test_with_TTA_WSL
+
+                test_emb = load_class_embeddings(
+                    cfg.MODEL.ROI_BOX_HEAD.OPEN_VOCABULARY.WEIGHT_PATH_TEST
+                )
+                self.final_tta_results = test_with_TTA_WSL(
+                    cfg, self.model, self.state.params,
+                    embeddings=self.embeddings,
+                    classifier=(
+                        jnp.asarray(test_emb) if test_emb is not None else None
+                    ),
+                )
+            except Exception:
+                logger.exception("final TTA eval failed")
         for w in self.writers:
             w.close()
         return self.state
@@ -342,8 +365,8 @@ class WSOVODTrainer_MixedDatasets(WSOVODTrainer):
 
         return build_multi_dataset_train_loader(cfg)
 
-    def __init__(self, cfg):
-        super().__init__(cfg)
+    def __init__(self, cfg, resume: bool = False):
+        super().__init__(cfg, resume=resume)
         from .train_loop import make_train_step as _mts
 
         self._step_fns = {

@@ -235,6 +235,8 @@ class GeneralizedRCNN_WSOVOD_MixedDatasets(GeneralizedRCNN_WSOVOD):
                 classifier=embeddings,
                 append_background=append_background,
                 rng=rng_roi,
+                sam_embed=batch.get("sam_embed"),
+                sam_scale=batch.get("sam_scale"),
             )
             losses = dict(out.losses)
             if self.proposal_generator is not None and out.proposal_targets is not None:

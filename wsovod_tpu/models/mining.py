@@ -226,3 +226,32 @@ def label_and_sample_wsl(
     # the CE loss skips -1 labels, roi_heads.py:1688-1691)
     gt_weights = jnp.where(gt_classes == -1, 0.0, gt_weights)
     return LabeledProposals(gt_classes, gt_boxes, gt_scores, gt_weights)
+
+
+def label_and_sample_plain(
+    proposal_boxes: jnp.ndarray,  # [P, 4]
+    proposal_valid: jnp.ndarray,  # [P]
+    pgt: PseudoGT,
+    matcher: Matcher,
+    num_classes: int,
+) -> LabeledProposals:
+    """``WSOVOD.SAMPLING.SAMPLING_ON = False`` fallback: the plain d2
+    ``label_and_sample_proposals`` (reference ``roi_heads.py:287-408``,
+    selected at :810-815) with the ROI_HEADS matcher. The reference's
+    ``_sample_proposals`` (:245-277) early-returns EVERY proposal — no
+    subsampling — labeling matched rows with the pgt class, unmatched (0)
+    as background and matcher-ignore (-1) as ignore, and copying
+    gt_boxes/gt_scores/gt_weights through the match index."""
+    iou = pairwise_iou(pgt.boxes, proposal_boxes)  # [G, P]
+    matched_idx, match_labels = matcher(iou, gt_valid=pgt.valid)
+
+    gt_classes = jnp.where(
+        match_labels == 1, pgt.classes[matched_idx], jnp.int32(num_classes)
+    )
+    gt_classes = jnp.where(match_labels == -1, -1, gt_classes)
+    gt_classes = jnp.where(proposal_valid, gt_classes, -1)
+
+    gt_boxes = pgt.boxes[matched_idx]
+    gt_scores = pgt.scores[matched_idx]
+    gt_weights = jnp.where(gt_classes == -1, 0.0, pgt.weights[matched_idx])
+    return LabeledProposals(gt_classes, gt_boxes, gt_scores, gt_weights)

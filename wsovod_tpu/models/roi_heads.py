@@ -74,6 +74,10 @@ class WSOVODROIHeads(nn.Module):
     sampling_iou_labels: Sequence[Sequence[int]] = ((0, 1),)
     sampling_batch_size: Sequence[int] = (4096,)
     sampling_pos_fraction: Sequence[float] = (1.0,)
+    # sampling_on=False fallback matcher (MODEL.ROI_HEADS.IOU_*, reference
+    # roi_heads.py:810-815 -> label_and_sample_proposals)
+    roi_matcher_iou_thresholds: Sequence[float] = (0.5,)
+    roi_matcher_iou_labels: Sequence[int] = (0, 1)
     object_mining_weight: float = 1.0
     object_mining_mean_loss: bool = True
     instance_refinement_weight: float = 1.0
@@ -336,6 +340,14 @@ class WSOVODROIHeads(nn.Module):
         )
         prev_scores = jax.lax.stop_gradient(prev_scores)
         proposal_boxes = proposals.proposal_boxes
+        # mining feed: starts at the raw proposal boxes (the object miner's
+        # predict_boxes returns them verbatim, reference
+        # fast_rcnn_open_vocabulary.py:552-567); after each box-supervised
+        # refinery the feed becomes that refinery's REGRESSED boxes
+        # (predict_boxes = apply_deltas(deltas_k, proposal_boxes),
+        # :961-985), which reach stage-(k+1) mining and the final RPN
+        # pgt_top_k (reference roi_heads.py:823-829,872-881)
+        mining_boxes = proposal_boxes
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -357,7 +369,7 @@ class WSOVODROIHeads(nn.Module):
             mine = jax.vmap(
                 lambda b, s, v, p, w: pgt_fn(b, s[:, :num_classes], v, p, w)
             )(
-                proposal_boxes,
+                mining_boxes,
                 prev_scores,
                 proposals.valid,
                 present,
@@ -369,27 +381,43 @@ class WSOVODROIHeads(nn.Module):
                 mine = self._sam_refine(mine, sam_embed, sam_scale)
             last_pgt = mine
 
-            stage = min(k, len(self.sampling_iou_thresholds) - 1)
-            matcher = Matcher(
-                list(self.sampling_iou_thresholds[stage]),
-                list(self.sampling_iou_labels[stage]),
-                allow_low_quality_matches=False,
-            )
-            rng, krng = jax.random.split(rng)
-            keys = jax.random.split(krng, proposal_boxes.shape[0])
-            labeled: LabeledProposals = jax.vmap(
-                lambda pb, pv, pg, key: label_and_sample_wsl(
-                    pb,
-                    pv,
-                    pg,
-                    matcher,
-                    num_classes,
-                    self.sampling_batch_size[stage],
-                    self.sampling_pos_fraction[stage],
-                    key,
-                    cls_agnostic_bbox_known=self.cls_agnostic_bbox_known,
+            if self.sampling_on:
+                stage = min(k, len(self.sampling_iou_thresholds) - 1)
+                matcher = Matcher(
+                    list(self.sampling_iou_thresholds[stage]),
+                    list(self.sampling_iou_labels[stage]),
+                    allow_low_quality_matches=False,
                 )
-            )(proposal_boxes, proposals.valid, mine, keys)
+                rng, krng = jax.random.split(rng)
+                keys = jax.random.split(krng, proposal_boxes.shape[0])
+                labeled: LabeledProposals = jax.vmap(
+                    lambda pb, pv, pg, key: label_and_sample_wsl(
+                        pb,
+                        pv,
+                        pg,
+                        matcher,
+                        num_classes,
+                        self.sampling_batch_size[stage],
+                        self.sampling_pos_fraction[stage],
+                        key,
+                        cls_agnostic_bbox_known=self.cls_agnostic_bbox_known,
+                    )
+                )(proposal_boxes, proposals.valid, mine, keys)
+            else:
+                # SAMPLING_ON=False: plain d2 labeling, ROI_HEADS matcher,
+                # no subsampling (reference roi_heads.py:810-815)
+                from .mining import label_and_sample_plain
+
+                matcher = Matcher(
+                    list(self.roi_matcher_iou_thresholds),
+                    list(self.roi_matcher_iou_labels),
+                    allow_low_quality_matches=False,
+                )
+                labeled = jax.vmap(
+                    lambda pb, pv, pg: label_and_sample_plain(
+                        pb, pv, pg, matcher, num_classes
+                    )
+                )(proposal_boxes, proposals.valid, mine)
 
             scores_k, deltas_k = self.box_refinery[k](
                 roi_feats,
@@ -412,6 +440,22 @@ class WSOVODROIHeads(nn.Module):
             prev_scores = jax.lax.stop_gradient(
                 nn.softmax(scores_k.astype(jnp.float32), axis=-1)
             )
+            # next mining round (and the RPN targets) consume this
+            # refinery's regressed boxes; with refine_reg[k]=False the
+            # deltas are zeros, so decoding reproduces the proposal boxes
+            # (matching the reference's zero-delta predict_boxes)
+            if k < len(self.refine_reg) and self.refine_reg[k]:
+                from ..structures.boxes import apply_deltas
+
+                mining_boxes = jax.lax.stop_gradient(
+                    apply_deltas(
+                        deltas_k.astype(jnp.float32),
+                        proposal_boxes,
+                        weights=self.bbox_reg_weights,
+                    )
+                )
+            else:
+                mining_boxes = proposal_boxes
 
         # VIS_PERIOD debug dumps (reference roi_heads.py:1345-1425): the last
         # refinement round's mined pseudo GT is sown into the "vis" collection
@@ -438,7 +482,7 @@ class WSOVODROIHeads(nn.Module):
             proposal_targets = jax.vmap(
                 lambda b, s, v, p, w: pgt_top_k(b, s[:, :num_classes], v, p, w, top_k=1)
             )(
-                proposal_boxes,
+                mining_boxes,
                 prev_scores,
                 proposals.valid,
                 present,
@@ -504,6 +548,8 @@ def build_roi_heads(cfg, pooler: ROIPooler) -> WSOVODROIHeads:
         refine_mist=ws.INSTANCE_REFINEMENT.REFINE_MIST,
         cross_entropy_weighted=ws.INSTANCE_REFINEMENT.CROSS_ENTROPY_WEIGHTED,
         sampling_on=ws.SAMPLING.SAMPLING_ON,
+        roi_matcher_iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
+        roi_matcher_iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),
         sampling_iou_thresholds=tuple(tuple(t) for t in ws.SAMPLING.IOU_THRESHOLDS),
         sampling_iou_labels=tuple(tuple(t) for t in ws.SAMPLING.IOU_LABELS),
         sampling_batch_size=tuple(ws.SAMPLING.BATCH_SIZE_PER_IMAGE),

@@ -74,6 +74,8 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
         embeddings: Optional[jnp.ndarray] = None,
         append_background: bool = True,
         rng: Optional[jax.Array] = None,
+        sam_embed: Optional[jnp.ndarray] = None,  # [B, Gh, Gw, 256]
+        sam_scale: Optional[jnp.ndarray] = None,  # [B]
     ) -> ROIHeadsOutput:
         from .mining import get_image_level_gt, label_and_sample_wsl, pgt_mist, pgt_top_k
         from ..ops.matcher import Matcher
@@ -106,32 +108,65 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
         )
         prev_scores = jax.lax.stop_gradient(prev_scores)
         proposal_boxes = proposals.proposal_boxes
+        # refined-box mining feed + SAM refinement, matching the plain heads
+        # (reference mixed loop is structurally identical:
+        # roi_heads.py:2253-2347 — sam=self.sam iff refine_reg[k] per stage,
+        # sam=self.sam unconditionally for the RPN targets, and
+        # prev_pred_boxes = box_refinery[k].predict_boxes after each stage)
+        mining_boxes = proposal_boxes
         if rng is None:
             rng = jax.random.PRNGKey(0)
 
-        pgt_fn = pgt_mist if self.refine_mist else pgt_top_k
         for k in range(self.refine_k):
+            sam_applies = (
+                k < len(self.refine_reg)
+                and self.refine_reg[k]
+                and self.bbox_refine
+                and sam_embed is not None
+            )
+            if self.refine_mist:
+                # mist weights follow the sam/no-sam zip (reference
+                # roi_heads.py:2377-2507, same nuance as the plain heads)
+                pgt_fn = lambda *a: pgt_mist(*a, sam=sam_applies)
+            else:
+                pgt_fn = pgt_top_k
             mine = jax.vmap(
                 lambda b, s, v, p, w: pgt_fn(b, s[:, :num_classes], v, p, w)
-            )(proposal_boxes, prev_scores, proposals.valid, present,
+            )(mining_boxes, prev_scores, proposals.valid, present,
               jax.lax.stop_gradient(img_logits))
-            stage = min(k, len(self.sampling_iou_thresholds) - 1)
-            matcher = Matcher(
-                list(self.sampling_iou_thresholds[stage]),
-                list(self.sampling_iou_labels[stage]),
-                allow_low_quality_matches=False,
-            )
-            rng, krng = jax.random.split(rng)
-            keys = jax.random.split(krng, proposal_boxes.shape[0])
-            labeled = jax.vmap(
-                lambda pb, pv, pg, key: label_and_sample_wsl(
-                    pb, pv, pg, matcher, num_classes,
-                    self.sampling_batch_size[stage],
-                    self.sampling_pos_fraction[stage],
-                    key,
-                    cls_agnostic_bbox_known=self.cls_agnostic_bbox_known,
+            if k < len(self.refine_reg) and self.refine_reg[k]:
+                mine = self._sam_refine(mine, sam_embed, sam_scale)
+            if self.sampling_on:
+                stage = min(k, len(self.sampling_iou_thresholds) - 1)
+                matcher = Matcher(
+                    list(self.sampling_iou_thresholds[stage]),
+                    list(self.sampling_iou_labels[stage]),
+                    allow_low_quality_matches=False,
                 )
-            )(proposal_boxes, proposals.valid, mine, keys)
+                rng, krng = jax.random.split(rng)
+                keys = jax.random.split(krng, proposal_boxes.shape[0])
+                labeled = jax.vmap(
+                    lambda pb, pv, pg, key: label_and_sample_wsl(
+                        pb, pv, pg, matcher, num_classes,
+                        self.sampling_batch_size[stage],
+                        self.sampling_pos_fraction[stage],
+                        key,
+                        cls_agnostic_bbox_known=self.cls_agnostic_bbox_known,
+                    )
+                )(proposal_boxes, proposals.valid, mine, keys)
+            else:
+                from .mining import label_and_sample_plain
+
+                matcher = Matcher(
+                    list(self.roi_matcher_iou_thresholds),
+                    list(self.roi_matcher_iou_labels),
+                    allow_low_quality_matches=False,
+                )
+                labeled = jax.vmap(
+                    lambda pb, pv, pg: label_and_sample_plain(
+                        pb, pv, pg, matcher, num_classes
+                    )
+                )(proposal_boxes, proposals.valid, mine)
 
             scores_k, deltas_k = self.box_refinery[k](
                 roi_feats, classifier=classifier,
@@ -146,6 +181,18 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
             prev_scores = jax.lax.stop_gradient(
                 nn.softmax(scores_k.astype(jnp.float32), axis=-1)
             )
+            if k < len(self.refine_reg) and self.refine_reg[k]:
+                from ..structures.boxes import apply_deltas
+
+                mining_boxes = jax.lax.stop_gradient(
+                    apply_deltas(
+                        deltas_k.astype(jnp.float32),
+                        proposal_boxes,
+                        weights=self.bbox_reg_weights,
+                    )
+                )
+            else:
+                mining_boxes = proposal_boxes
             if k == self.refine_k - 1 and not self.is_initializing():
                 # VIS_PERIOD dump hook (see roi_heads.py): last round's pgt
                 self.sow(
@@ -163,8 +210,13 @@ class WSOVODMixedDatasetsROIHeads(WSOVODROIHeads):
         if self.rpn_on:
             proposal_targets = jax.vmap(
                 lambda b, s, v, p, w: pgt_top_k(b, s[:, :num_classes], v, p, w, top_k=1)
-            )(proposal_boxes, prev_scores, proposals.valid, present,
+            )(mining_boxes, prev_scores, proposals.valid, present,
               jax.lax.stop_gradient(img_logits))
+            # reference refines the mixed RPN pseudo targets with SAM too
+            # (roi_heads.py:2344, sam=self.sam)
+            proposal_targets = self._sam_refine(
+                proposal_targets, sam_embed, sam_scale
+            )
 
         return ROIHeadsOutput(losses, proposal_targets, img_logits)
 

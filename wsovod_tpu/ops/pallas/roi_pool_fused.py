@@ -50,6 +50,8 @@ row (the split is decided in-kernel, an exact partition).
 from __future__ import annotations
 
 import functools
+import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -600,7 +602,12 @@ def _onehot_gather_max_pyr(band, wd, rx1, rw, w_lim, p, c_tile, dtype,
         return band[:, :p].astype(jnp.float32)
     two_k = jax.lax.shift_left(jnp.int32(1), k)
     kr = p * S
-    kr_pad = -(-kr // 8) * 8
+    # Row count must be BOTH sublane-aligned (8) and divisible by the span
+    # group S for the j-group reduce's reshape — lcm(8, 5) = 40. Rounding
+    # to 8 alone broke every pooled resolution where p*S % 8 != 0 (e.g. the
+    # d2-default p=14: 70 -> 72, not reshapable by 5).
+    lcm = 8 * S // math.gcd(8, S)
+    kr_pad = -(-kr // lcm) * lcm
     r_i = jax.lax.broadcasted_iota(jnp.int32, (kr_pad, 1), 0)
     ii = r_i % S
     pwv = jnp.minimum(r_i // S, p - 1)
@@ -844,6 +851,11 @@ def _fused_pool_kernel(
     w8hc: bool = False,
     meta_dma: bool = False,
     force_narrow: bool = False,
+    pipe: bool = False,  # force_narrow windowed loop: software-pipeline the
+    # 8-ROI block as A(0); {A(i+1); B(i); store(i)} so ROI i's stage-B MXU
+    # dots sit between independent stage-A VPU walks in program order —
+    # gives Mosaic's scheduler the chance to co-issue the two units (the
+    # bands are already double-buffered, so there is no data hazard)
     row_unroll=None,  # static per-bin row cap (narrow plain path)
     stage_b: str = "dots",  # "dots" (7 per-ph gathers) | "bd" (block-diag)
     stage_b_wide: str = "pyr",  # wide full-row stage B: "pyr" = range-max
@@ -1085,6 +1097,49 @@ def _fused_pool_kernel(
             # resolution (bin width <= ceil(rw/p) + 1); rounded to 8 for the
             # aligned one-hot/reshape shapes (k = p*j_cap)
             j_wide = -(-(-(-w_lim // p) + 1) // 8) * 8
+            if (
+                force_narrow and pipe and win < w_dma
+                and not w8hc and stage_b == "dots" and fold == "seq"
+                and not ablate
+            ):
+                # software-pipelined block: A(i+1) precedes B(i) in program
+                # order (bands double-buffered -> no hazard), exposing
+                # VPU-walk/MXU-dot co-issue to Mosaic's scheduler
+                def pipe_a(i):
+                    ri = rbi * roi_block + i
+                    band_a = band_a2.at[i % 2]
+                    gate = load_g(goff + ri)
+                    rx1, rw, hlo, hhi, _ = _unpack_region_meta(
+                        load_m, moff + ri * mw, p, w_lim
+                    )
+                    x0 = jnp.clip(rx1, 0, w_dma - win)
+                    x0 = pl.multiple_of((x0 // 8) * 8, 8)
+                    _fold_rows_carry(
+                        full_buf, band_a, hlo, hhi, x0, win, p, c_tile,
+                        n_unroll=row_unroll,
+                    )
+                    return x0, rx1, rw, gate
+
+                def pipe_b(i, m_):
+                    x0, rx1, rw, gate = m_
+                    band_a = band_a2.at[i % 2]
+                    pooled = _onehot_gather_max(
+                        band_a, win, x0, rx1, rw, w_lim, p, j_cap_win,
+                        c_tile, full_buf.dtype,
+                    )
+                    thr = -127.5 if full_buf.dtype == jnp.int8 else NEG / 2
+                    pooled = jnp.where(pooled <= thr, 0.0, pooled)
+                    _write_out(
+                        out_ref, scale_ref, [pooled], gate, i,
+                        rbi * roi_block + i, quant, nmajor, n56c,
+                    )
+
+                m_c = pipe_a(0)
+                for i in range(roi_block):
+                    nxt = pipe_a(i + 1) if i + 1 < roi_block else None
+                    pipe_b(i, m_c)
+                    m_c = nxt
+                return
             for i in range(roi_block):
                 if force_narrow:
                     # caller GUARANTEES every ROI fits the window budget
@@ -1264,7 +1319,7 @@ def _fused_pool_kernel(
     static_argnames=(
         "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
         "loop_pool", "context_ratio", "quant", "interpret", "out_layout",
-        "meta_dma", "win", "force_narrow", "row_unroll", "stage_b",
+        "meta_dma", "win", "force_narrow", "pipe", "row_unroll", "stage_b",
         "stage_b_wide", "fold", "wide_dot", "ablate",
     ),
 )
@@ -1296,6 +1351,8 @@ def roi_pool_fused_batched(
     force_narrow: bool = False,  # caller GUARANTEES rw <= win - 7 for every
     # valid ROI: the wide body is not even traced (wrong results if the
     # guarantee is violated — use only with value-thresholded width splits)
+    pipe: bool | None = None,  # force_narrow windowed blocks: software-
+    # pipeline A(i+1) before B(i)/store(i) (None = WSOVOD_POOL_PIPE env)
     row_unroll: int | None = None,  # static per-bin row cap for the narrow
     # stage-A fold: replaces each bin's dynamic-trip fori with a masked
     # unroll. Correct only when rh <= (row_unroll - 1) * output_size for
@@ -1361,9 +1418,20 @@ def roi_pool_fused_batched(
         f32 = fs.astype(jnp.float32)
         s = jnp.max(jnp.abs(f32), axis=(1, 2, 3)) / 127.0  # [B]
         s = jnp.maximum(s, 1e-20)
-        feat = jnp.clip(
-            jnp.round(f32 / s[:, None, None, None]), -127, 127
-        ).astype(jnp.int8)
+        q = jnp.clip(jnp.round(f32 / s[:, None, None, None]), -127, 127)
+        # int8-VALUED bf16 carrier by default: Mosaic cannot legalize max
+        # over int8 vectors ('Reductions over int8 not implemented'), which
+        # blocked the true-int8 walk — but bf16 holds +-127 ints EXACTLY, so
+        # the walk runs on the proven bf16 path and only the STORE casts to
+        # int8 (halving the payload HBM write, the largest pool floor term)
+        # while the downstream fc1 still gets the int8 payload directly (no
+        # separate quantize pass). WSOVOD_TILE8_I8=1 re-enables the true
+        # int8 walk for future toolchains.
+        walk_dt = (
+            jnp.int8 if os.environ.get("WSOVOD_TILE8_I8") == "1"
+            else jnp.bfloat16
+        )
+        feat = q.astype(walk_dt)
         gate = gate * s[:, None]  # scale folds into the emitted per-ROI scale
         c_base, c = 0, c_take
 
@@ -1400,6 +1468,8 @@ def roi_pool_fused_batched(
         assert not loop_pool and win % 8 == 0, (win, loop_pool)
         win = min(win, w_dma)  # full-row segment callers pass win >= w_dma
     narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
+    if pipe is None:
+        pipe = os.environ.get("WSOVOD_POOL_PIPE") == "1"
     # static pyramid depth: k <= floor(log2(max(m_max - 1, 1))) for
     # image-clipped ROIs (m_max = max rw // p = (w + 1) // p)
     l_max = max((max((w + 1) // p - 1, 1)).bit_length() - 1, 1)
@@ -1623,7 +1693,7 @@ def roi_pool_fused_batched(
             context_ratio=context_ratio, quant=quant,
             cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c, w8hc=w8hc,
             meta_dma=meta_dma,
-            force_narrow=force_narrow, row_unroll=row_unroll,
+            force_narrow=force_narrow, pipe=pipe, row_unroll=row_unroll,
             stage_b=stage_b, stage_b_wide=stage_b_wide, l_max=l_max,
             fold=fold, wide_dot=wide_dot, ablate=ablate,
         )

@@ -28,6 +28,11 @@ def create_mesh(
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devices) // known
+    # an explicit shape smaller than the device count selects a subset mesh
+    # (e.g. a B=2 debug run on an 8-device virtual CPU host)
+    want = int(np.prod(shape))
+    if want < len(devices):
+        devices = devices[:want]
     dev_array = np.array(devices).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
