@@ -154,24 +154,152 @@ def main():
 
     img_per_sec = B * iters / dt
     pooler = cfg.MODEL.ROI_BOX_HEAD.POOLER_TYPE
+
+    # per-stage ms table (VERDICT r4 #8): measured with serialized in-jit
+    # reps (single-call walls through the axon tunnel are unreliable) and
+    # corner-probe consumers per output part (one pallas_call per chunk is
+    # all-or-nothing under DCE; probing corners avoids paying an extra
+    # full-tensor reduce inside the timed region). BENCH_STAGES=0 skips.
+    stages = {}
+    if os.environ.get("BENCH_STAGES", "1") != "0":
+        model = build_model(cfg)
+        reps = int(os.environ.get("BENCH_STAGE_REPS", "6"))
+
+        def fetch(outs):
+            leaf = jax.tree_util.tree_leaves(outs)[0]
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+        def timeit(fn, *args):
+            outs = fn(params, *args)
+            fetch(outs)
+            t0 = time.perf_counter()
+            outs = fn(params, *args)
+            fetch(outs)
+            return (time.perf_counter() - t0) / reps * 1000, outs
+
+        def probe(x):
+            # touch both "ends" of every leaf: DCE-proof for concat halves
+            f = x.ravel()
+            return (f[0] + f[-1]).astype(jnp.float32)
+
+        @jax.jit
+        def run_backbone(params, images):
+            def m_bb(m, x):
+                return m.backbone(m._normalize(x), train=False)
+
+            f, x = None, images
+            for _ in range(reps):
+                f = model.apply(params, x, method=m_bb)
+                x = images + probe(f["res5"]).astype(images.dtype) * 0
+            return f
+
+        @jax.jit
+        def run_rpn(params, feats, batch):
+            def m_prop(m, f, b):
+                return m._proposals(f, b, False, None, None)[0]
+
+            out, f = None, feats
+            for _ in range(reps):
+                out = model.apply(params, f, batch, method=m_prop)
+                f = {k: v + probe(out.objectness_logits).astype(v.dtype) * 0
+                     for k, v in f.items()}
+            return out
+
+        @jax.jit
+        def run_pool(params, feats, proposals):
+            def m_pool(m, f, p):
+                rh = m.roi_heads
+                chunks, _ = rh.pooler.fused_chunk_pool(
+                    [f[k] for k in rh.in_features],
+                    p.proposal_boxes, p.objectness_logits, p.valid,
+                    train=False, level_ids=p.get("level_ids"),
+                )
+                if chunks is None:
+                    return jnp.float32(0.0)
+                t = jnp.float32(0.0)
+                for ch in chunks:
+                    for part in jax.tree_util.tree_leaves(ch):
+                        t = t + probe(part)
+                return t
+
+            t, p = None, proposals
+            for _ in range(reps):
+                t = model.apply(params, feats, p, method=m_pool)
+                p = p.replace(
+                    proposal_boxes=p.proposal_boxes + t.astype(jnp.float32) * 0
+                )
+            return t
+
+        @jax.jit
+        def run_pool_fc1(params, feats, proposals):
+            def m_pf(m, f, p):
+                daf = None
+                if m.data_aware_head is not None:
+                    daf = m.data_aware_head(f[m.in_feature], pixel_valid=None)
+                bf, _ = m.roi_heads._pooled_box_features(f, p, daf, False)
+                return probe(bf)
+
+            t, p = None, proposals
+            for _ in range(reps):
+                t = model.apply(params, feats, p, method=m_pf)
+                p = p.replace(
+                    proposal_boxes=p.proposal_boxes + t.astype(jnp.float32) * 0
+                )
+            return t
+
+        @jax.jit
+        def run_heads(params, feats, proposals, batch):
+            def m_heads(m, f, p, b):
+                daf = None
+                if m.data_aware_head is not None:
+                    daf = m.data_aware_head(f[m.in_feature], pixel_valid=None)
+                return m.roi_heads.inference(
+                    f, p, b["image_sizes"], data_aware_features=daf,
+                    embeddings=emb,
+                )[0]
+
+            out, f = None, feats
+            for _ in range(reps):
+                out = model.apply(params, f, proposals, batch, method=m_heads)
+                f = {k: v + probe(out.scores).astype(v.dtype) * 0
+                     for k, v in f.items()}
+            return out
+
+        try:
+            ms_bb, feats = timeit(run_backbone, batch["images"])
+            ms_rpn, proposals = timeit(run_rpn, feats, batch)
+            ms_pool, _ = timeit(run_pool, feats, proposals)
+            ms_pf, _ = timeit(run_pool_fc1, feats, proposals)
+            ms_heads, _ = timeit(run_heads, feats, proposals, batch)
+            stages = {
+                "backbone_ms": round(ms_bb, 1),
+                "rpn_ms": round(ms_rpn, 1),
+                "pool_ms": round(ms_pool, 1),
+                "quant_fc1_ms": round(ms_pf - ms_pool, 1),
+                "tail_ms": round(ms_heads - ms_pf, 1),
+                "full_ms": round(dt / iters * 1000, 1),
+            }
+        except Exception as e:  # noqa: BLE001 - stages must not kill the bench
+            print(f"bench stages failed ({type(e).__name__}: {e})",
+                  file=sys.stderr, flush=True)
+            stages = {}
     print(
         f"bench ROI mix: {narrow_frac * 100:.1f}% narrow (rw<=41) / "
         f"{(1 - narrow_frac) * 100:.1f}% wide",
         file=sys.stderr, flush=True,
     )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "images/sec/chip WSR-50-DC5 inference "
-                    f"(688px, 4000 mixed-size proposals, {pooler})"
-                ),
-                "value": round(img_per_sec, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": (
+            "images/sec/chip WSR-50-DC5 inference "
+            f"(688px, 4000 mixed-size proposals, {pooler})"
+        ),
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 4),
+    }
+    if stages:
+        rec["stages"] = stages
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

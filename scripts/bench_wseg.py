@@ -82,14 +82,14 @@ def consume(r):
     )
 
 
-def mk(win=48, force=False):
+def mk(win=48, force=False, pipe=False, fold="seq"):
     @jax.jit
     def run(feat, rois, gate):
         acc = None
         for cb in range(0, C, CT):
             r = roi_pool_fused_batched(
                 feat, rois, gate, cb, c_take=CT, spatial_scale=scale,
-                win=win, force_narrow=force,
+                win=win, force_narrow=force, pipe=pipe, fold=fold,
             )
             v = consume(r)
             acc = v if acc is None else acc + v
@@ -166,3 +166,6 @@ timeit("mixed split75 n48/full     ", mk_split(0.75), feat, rois_mixed, gate)
 timeit("mixed split75 n48F/full    ", mk_split(0.75, force_n=True), feat, rois_mixed, gate)
 timeit("mixed split85 n48/full     ", mk_split(0.85), feat, rois_mixed, gate)
 timeit("mixed fullrow FORCE 1call  ", mk(1024, True), feat, rois_mixed, gate)
+timeit("mixed fullrow FORCE PIPE   ", mk(1024, True, pipe=True), feat, rois_mixed, gate)
+timeit("wide  fullrow FORCE PIPE   ", mk(1024, True, pipe=True), feat, rois_wide, gate)
+timeit("mixed fullrow FORCE il2    ", mk(1024, True, fold="il2"), feat, rois_mixed, gate)

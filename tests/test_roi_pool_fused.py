@@ -1009,3 +1009,99 @@ def test_fused_pool_pipe_exact():
         )
         for a, b_ in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_fused_pool_fold_variants_exact():
+    """Interleaved stage-A folds (fold='il'/'il2') are bit-exact vs the
+    sequential carry fold on both the narrow windowed path and the wide
+    full-row (force_narrow win>=w_dma, pyramid stage B) path, including
+    tall boxes, sub-pixel boxes (empty bins), and gate-0 rows."""
+    rng = np.random.RandomState(11)
+    b, h, w, c, n = 2, 20, 29, 128, 24
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    xy = rng.uniform(0, 40, (b, n, 2))
+    # thirds: tiny (empty-bin stress), medium, tall/wide (full-row stress)
+    wh = np.concatenate(
+        [
+            rng.uniform(0.5, 3, (b, 8, 2)),
+            rng.uniform(4, 40, (b, 8, 2)),
+            rng.uniform(60, 110, (b, 8, 2)),
+        ],
+        axis=1,
+    )
+    rois = np.concatenate([xy, xy + wh], -1)
+    rois[..., [0, 2]] = rois[..., [0, 2]].clip(0, w / 0.25)
+    rois[..., [1, 3]] = rois[..., [1, 3]].clip(0, h / 0.25)
+    rois = jnp.asarray(rois.astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2, (b, n)).astype(np.float32))
+    gate = gate.at[:, -2:].set(0.0)
+    for kw in (
+        dict(win=24, force_narrow=True),  # narrow windowed (clipped rois fit)
+        dict(win=1024, force_narrow=True),  # wide full-row pyramid stage B
+        dict(),  # default per-ROI narrow/wide program
+    ):
+        if kw.get("win") == 24:
+            rois_k = jnp.asarray(
+                np.concatenate([xy, xy + wh.clip(0.5, 20)], -1).astype(
+                    np.float32
+                )
+            )
+        else:
+            rois_k = rois
+        ref = rpf.roi_pool_fused_batched(
+            feat, rois_k, gate, spatial_scale=0.25, interpret=True, **kw
+        )
+        for fold in ("il", "il2"):
+            got = rpf.roi_pool_fused_batched(
+                feat, rois_k, gate, spatial_scale=0.25, interpret=True,
+                fold=fold, **kw
+            )
+            np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_model_level_fullrow_wiring(monkeypatch):
+    """WSOVOD_POOL_FULLROW=1 (single-body full-row force program; image-
+    clipped boxes) reproduces the default per-ROI narrow/wide fused path
+    bit-for-bit through the DAN, with and without the pipe interleave."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(33)
+        b, h, w, c, n = 2, 14, 18, 128, 32
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 40, (b, n, 2))
+        wh = np.concatenate(
+            [rng.uniform(4, 40, (b, 24, 2)), rng.uniform(40, 90, (b, 8, 2))],
+            axis=1,
+        )
+        rois = np.concatenate([xy, xy + wh], -1)
+        rois[..., [0, 2]] = rois[..., [0, 2]].clip(0, w / 0.25)
+        rois[..., [1, 3]] = rois[..., [1, 3]].clip(0, h / 0.25)
+        rois = jnp.asarray(rois.astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, n) > 0.2)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        rois = jnp.where(valid[..., None], rois, 0.0)
+
+        pooler = ROIPooler(
+            7, scales=[0.25], pooler_type="ROIPool", roi_align_kernel="fused"
+        )
+        dan = DiscriminativeAdaptationNeck(fc_dims=(16,))
+        plain, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
+        lay = dict(chunk_layout=pooler.chunk_layout_used, pooled_hw=(7, 7))
+        params = dan.init(jax.random.PRNGKey(0), plain, train=False, **lay)
+        want = np.asarray(dan.apply(params, plain, train=False, **lay))
+
+        monkeypatch.setenv("WSOVOD_POOL_FULLROW", "1")
+        for pipe_env in ("0", "1"):
+            monkeypatch.setenv("WSOVOD_POOL_PIPE", pipe_env)
+            fr, unsort = pooler.fused_chunk_pool(
+                [feat], rois, obj, valid, train=False
+            )
+            assert unsort is None
+            got = np.asarray(dan.apply(params, fr, train=False, **lay))
+            np.testing.assert_array_equal(got, want)
+    finally:
+        rpf._INTERPRET = False

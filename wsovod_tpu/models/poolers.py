@@ -483,7 +483,25 @@ class ROIPooler:
                     segs.append(emit(mk_seg, n_sl, False))
                 return SegmentedChunks(segs), unsort_idx
 
+        # full-row single-body program (A/B, WSOVOD_POOL_FULLROW=1): every
+        # ROI takes the force_narrow full-row path — exact for image-clipped
+        # boxes (all shipped callers clip), ONE traced body instead of the
+        # per-ROI narrow/wide pl.when pair, and pipe-able
+        # (WSOVOD_POOL_PIPE=1 interleaves A(i+1) with B(i)/store(i)).
+        use_fullrow = (
+            (not train)
+            and not loop
+            and self.pooler_type == "ROIPool"
+            and not use_maxabs
+            and not mrrp
+            and os.environ.get("WSOVOD_POOL_FULLROW", "0") == "1"
+        )
+
         def mk_plain(cb):
+            if use_fullrow:
+                return call_batched(
+                    boxes, gate, cb, win=1 << 20, force_narrow=True
+                )
             if use_maxabs or use_tile8 or not train:
                 return call_batched(boxes, gate, cb)
             return roi_pool_fused_ad(

@@ -1007,9 +1007,15 @@ def _fused_pool_kernel(
                 # ms/batch at the honest 19%-wide COCO mix) vs ~3-6 us of
                 # MXU dots.
                 x0 = jnp.int32(0)
-                _fold_rows_carry(
-                    full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
-                )
+                if fold in ("il", "il2"):
+                    _fold_rows_interleaved(
+                        full_buf, band_a, hlo, hhi, x0, wd, p, c_tile,
+                        branchless=(fold == "il2"),
+                    )
+                else:
+                    _fold_rows_carry(
+                        full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
+                    )
                 pooled = _onehot_gather_max(
                     band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
                     full_buf.dtype,
@@ -1017,9 +1023,15 @@ def _fused_pool_kernel(
             elif stage_b_wide == "pyr":
                 # wide full-row pyramid stage B (see _onehot_gather_max_pyr)
                 x0 = jnp.int32(0)
-                _fold_rows_carry(
-                    full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
-                )
+                if fold in ("il", "il2"):
+                    _fold_rows_interleaved(
+                        full_buf, band_a, hlo, hhi, x0, wd, p, c_tile,
+                        branchless=(fold == "il2"),
+                    )
+                else:
+                    _fold_rows_carry(
+                        full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
+                    )
                 if ablate == "nodot":
                     pooled = band_a[:, :p].astype(jnp.float32)
                 else:
@@ -1098,13 +1110,16 @@ def _fused_pool_kernel(
             # aligned one-hot/reshape shapes (k = p*j_cap)
             j_wide = -(-(-(-w_lim // p) + 1) // 8) * 8
             if (
-                force_narrow and pipe and win < w_dma
+                force_narrow and pipe
                 and not w8hc and stage_b == "dots" and fold == "seq"
                 and not ablate
             ):
                 # software-pipelined block: A(i+1) precedes B(i) in program
                 # order (bands double-buffered -> no hazard), exposing
-                # VPU-walk/MXU-dot co-issue to Mosaic's scheduler
+                # VPU-walk/MXU-dot co-issue to Mosaic's scheduler. At
+                # win >= w_dma this is the full-row single-body program
+                # (exact for every image-clipped box — stage B uses the
+                # j_cap_win gather dots, which cover clipped widths).
                 def pipe_a(i):
                     ri = rbi * roi_block + i
                     band_a = band_a2.at[i % 2]
@@ -1112,11 +1127,11 @@ def _fused_pool_kernel(
                     rx1, rw, hlo, hhi, _ = _unpack_region_meta(
                         load_m, moff + ri * mw, p, w_lim
                     )
-                    x0 = jnp.clip(rx1, 0, w_dma - win)
+                    x0 = jnp.clip(rx1, 0, max(w_dma - win, 0))
                     x0 = pl.multiple_of((x0 // 8) * 8, 8)
                     _fold_rows_carry(
-                        full_buf, band_a, hlo, hhi, x0, win, p, c_tile,
-                        n_unroll=row_unroll,
+                        full_buf, band_a, hlo, hhi, x0, min(win, w_dma), p,
+                        c_tile, n_unroll=row_unroll,
                     )
                     return x0, rx1, rw, gate
 
