@@ -1051,7 +1051,7 @@ def test_fused_pool_fold_variants_exact():
         ref = rpf.roi_pool_fused_batched(
             feat, rois_k, gate, spatial_scale=0.25, interpret=True, **kw
         )
-        for fold in ("il", "il2"):
+        for fold in ("il", "il2", "sl2"):
             got = rpf.roi_pool_fused_batched(
                 feat, rois_k, gate, spatial_scale=0.25, interpret=True,
                 fold=fold, **kw
@@ -1103,5 +1103,100 @@ def test_model_level_fullrow_wiring(monkeypatch):
             assert unsort is None
             got = np.asarray(dan.apply(params, fr, train=False, **lay))
             np.testing.assert_array_equal(got, want)
+    finally:
+        rpf._INTERPRET = False
+
+
+def test_fused_pool_hpyr_exact():
+    """The shared H-direction 4-row pyramid stage A (hpyr=True) is bit-exact
+    vs the row walk on the windowed, full-row force, and default programs,
+    including tall boxes, sub-4-row bins, empty bins, and gate-0 rows."""
+    rng = np.random.RandomState(13)
+    b, h, w, c, n = 2, 20, 29, 128, 24
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    xy = rng.uniform(0, 40, (b, n, 2))
+    wh = np.concatenate(
+        [
+            rng.uniform(0.5, 3, (b, 8, 2)),
+            rng.uniform(4, 40, (b, 8, 2)),
+            rng.uniform(60, 110, (b, 8, 2)),
+        ],
+        axis=1,
+    )
+    rois = np.concatenate([xy, xy + wh], -1)
+    rois[..., [0, 2]] = rois[..., [0, 2]].clip(0, w / 0.25)
+    rois[..., [1, 3]] = rois[..., [1, 3]].clip(0, h / 0.25)
+    rois = jnp.asarray(rois.astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2, (b, n)).astype(np.float32))
+    gate = gate.at[:, -2:].set(0.0)
+    for kw in (
+        dict(win=1024, force_narrow=True),  # the production hpyr segment
+        dict(),  # default per-ROI narrow/wide program
+        dict(win=24, force_narrow=True),
+    ):
+        if kw.get("win") == 24:
+            rois_k = jnp.asarray(
+                np.concatenate([xy, xy + wh.clip(0.5, 20)], -1).astype(
+                    np.float32
+                )
+            )
+        else:
+            rois_k = rois
+        ref = rpf.roi_pool_fused_batched(
+            feat, rois_k, gate, spatial_scale=0.25, interpret=True, **kw
+        )
+        got = rpf.roi_pool_fused_batched(
+            feat, rois_k, gate, spatial_scale=0.25, interpret=True,
+            hpyr=True, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_model_level_hpyr_wiring(monkeypatch):
+    """WSOVOD_POOL_HPYR=1 (width-sorted split; wide tail segment through the
+    full-row + H-pyramid program) reproduces the default fused path
+    bit-for-bit through the DAN after unsorting."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler, SegmentedChunks
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(35)
+        b, h, w, c, n = 2, 14, 18, 128, 256
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 40, (b, n, 2))
+        wh = np.concatenate(
+            [rng.uniform(4, 40, (b, 192, 2)), rng.uniform(40, 90, (b, 64, 2))],
+            axis=1,
+        )
+        rois = np.concatenate([xy, xy + wh], -1)
+        rois[..., [0, 2]] = rois[..., [0, 2]].clip(0, w / 0.25)
+        rois[..., [1, 3]] = rois[..., [1, 3]].clip(0, h / 0.25)
+        rois = jnp.asarray(rois.astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, n) > 0.2)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        rois = jnp.where(valid[..., None], rois, 0.0)
+
+        pooler = ROIPooler(
+            7, scales=[0.25], pooler_type="ROIPool", roi_align_kernel="fused"
+        )
+        dan = DiscriminativeAdaptationNeck(fc_dims=(16,))
+        plain, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
+        lay = dict(chunk_layout=pooler.chunk_layout_used, pooled_hw=(7, 7))
+        params = dan.init(jax.random.PRNGKey(0), plain, train=False, **lay)
+        want = np.asarray(dan.apply(params, plain, train=False, **lay))
+
+        monkeypatch.setenv("WSOVOD_POOL_HPYR", "1")
+        chunks, unsort = pooler.fused_chunk_pool(
+            [feat], rois, obj, valid, train=False
+        )
+        assert isinstance(chunks, SegmentedChunks) and unsort is not None
+        got = jnp.concatenate(
+            [dan.apply(params, s, train=False, **lay) for s in chunks.segments],
+            axis=-2,
+        )
+        got = np.asarray(jnp.take_along_axis(got, unsort[..., None], axis=-2))
+        np.testing.assert_array_equal(got, want)
     finally:
         rpf._INTERPRET = False

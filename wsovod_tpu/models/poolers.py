@@ -444,7 +444,22 @@ class ROIPooler:
         # (15.50 vs 15.54 img/s mixed-dist; win24 vs win48 pool-only 176 vs
         # 183 — the kernel cost is per-ROI stage-B/store dominated, not
         # band-width) — default OFF; WSOVOD_POOL_WSPLIT=1 re-enables.
+        # hpyr (A/B, WSOVOD_POOL_HPYR=1): width-sort, then pool the WIDE
+        # tail segment with the full-row force program + the shared
+        # H-direction 4-row pyramid (fewer stage-A bytes for the tall
+        # walks that dominate the honest mix's wide 20%); the narrow
+        # segment keeps the default two-body win-48 program, so ROIs
+        # mis-split into it stay exact.
         n_rois = boxes.shape[1]
+        use_hpyr = (
+            (not train)
+            and not loop
+            and self.pooler_type == "ROIPool"
+            and not use_maxabs
+            and not mrrp
+            and n_rois >= 256
+            and os.environ.get("WSOVOD_POOL_HPYR", "0") == "1"
+        )
         use_wsplit = (
             (not train)
             and not loop
@@ -454,8 +469,12 @@ class ROIPooler:
             and n_rois >= 256
             and os.environ.get("WSOVOD_POOL_WSPLIT", "0") == "1"
         )
-        if use_wsplit:
-            frac = float(os.environ.get("WSOVOD_POOL_WSPLIT_FRAC", "0.4"))
+        if use_wsplit or use_hpyr:
+            frac = float(
+                os.environ.get(
+                    "WSOVOD_POOL_WSPLIT_FRAC", "0.78" if use_hpyr else "0.4"
+                )
+            )
             k_split = max(8, int(round(frac * n_rois / 8)) * 8)
             if k_split < n_rois:
                 s_sc = self.scales[0]
@@ -470,14 +489,25 @@ class ROIPooler:
                 unsort_idx = jnp.argsort(order, axis=1).astype(jnp.int32)
                 boxes_w = jnp.take_along_axis(boxes, order[..., None], axis=1)
                 gate_w = jnp.take_along_axis(gate, order, axis=1)
+                if use_hpyr:
+                    seg_kws = (
+                        (slice(0, k_split), k_split, dict(win=48)),
+                        (
+                            slice(k_split, None),
+                            n_rois - k_split,
+                            dict(win=1 << 20, force_narrow=True, hpyr=True),
+                        ),
+                    )
+                else:
+                    seg_kws = (
+                        (slice(0, k_split), k_split, dict(win=24)),
+                        (slice(k_split, None), n_rois - k_split, dict(win=48)),
+                    )
                 segs = []
-                for sl, n_sl, win_sl in (
-                    (slice(0, k_split), k_split, 24),
-                    (slice(k_split, None), n_rois - k_split, 48),
-                ):
-                    def mk_seg(cb, sl=sl, win_sl=win_sl):
+                for sl, n_sl, kw_sl in seg_kws:
+                    def mk_seg(cb, sl=sl, kw_sl=kw_sl):
                         return call_batched(
-                            boxes_w[:, sl], gate_w[:, sl], cb, win=win_sl
+                            boxes_w[:, sl], gate_w[:, sl], cb, **kw_sl
                         )
 
                     segs.append(emit(mk_seg, n_sl, False))

@@ -242,6 +242,99 @@ def _region_vals_to_meta(vals, p, w_lim):
     return rx1, rw, hlo, hhi, functools.partial(_w_edges, rx1, rw, p, w_lim)
 
 
+def _build_h4(full_buf, l2_buf, h):
+    """Build the stride-1 H-direction 4-row range-max pyramid level:
+    ``l2[h] = max(rows h..h+3)`` (clamped at the bottom edge), shared by
+    every ROI of the (image, c-tile) sweep. Two in-place passes: 2-row
+    maxes, then a +2 fold (ascending h reads pre-pass-2 values — correct).
+    Cost: ~3 tile passes once per resident-tile refresh, amortized over
+    the ~5k ROIs that read it."""
+
+    def p1(i, _):
+        l2_buf[0, i] = jnp.maximum(
+            full_buf[0, i], full_buf[0, jnp.minimum(i + 1, h - 1)]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, h, p1, 0, unroll=False)
+
+    def p2(i, _):
+        l2_buf[0, i] = jnp.maximum(
+            l2_buf[0, i], l2_buf[0, jnp.minimum(i + 2, h - 1)]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, h, p2, 0, unroll=False)
+
+
+def _fold_rows_carry_h4(full_buf, l2_buf, band, hlo, hhi, x0, win, p,
+                        c_tile):
+    """Stage A via the shared H-direction 4-row pyramid: a bin with
+    ``n >= 4`` rows folds ``ceil(n/4)`` stride-4 ``l2`` loads (last clamped
+    to ``hhi - 4``; every window [h, h+4) stays inside the bin — exact);
+    shorter bins walk their <= 3 raw rows. The walk is VMEM-bandwidth-bound
+    (~26 ns per [48, 512] row, ~87 ns at [136, 512] — measured 2026-08-20),
+    so tall wide-path bins cut their stage-A bytes ~3.5x. Branchless: the
+    two fori trip counts select the path (0-trip loops are free)."""
+    neg = _neg_for(full_buf.dtype)
+    full_row = win == full_buf.shape[2]
+
+    def load(buf, hh):
+        if full_row:
+            return buf[0, hh]
+        return buf[0, hh, pl.ds(x0, win)]
+
+    for ph in range(p):
+        n = hhi[ph] - hlo[ph]
+        t0 = jnp.where(n >= 4, 0, jnp.maximum(n, 0))
+        t2 = jnp.where(n >= 4, (n + 3) // 4, 0)
+
+        def body0(t, acc, ph=ph):
+            return jnp.maximum(acc, load(full_buf, hlo[ph] + t))
+
+        def body2(t, acc, ph=ph, n=n):
+            hh = jnp.minimum(hlo[ph] + 4 * t, jnp.maximum(hhi[ph] - 4, 0))
+            return jnp.maximum(acc, load(l2_buf, hh))
+
+        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        acc = jax.lax.fori_loop(0, t0, body0, init, unroll=False)
+        acc = jax.lax.fori_loop(0, t2, body2, acc, unroll=False)
+        band[ph, :win] = acc
+
+
+def _fold_rows_carry_sl2(full_buf, band, hlo, hhi, x0, win, p, c_tile):
+    """Stage A carry fold processing TWO rows per ``fori`` trip: halves the
+    per-trip overhead (scalar bounds/branch/address work — measured ~0.39 us
+    per [136, 512] row at ~10% VPU efficiency, i.e. overhead-bound) for the
+    tall walks of the wide path. Odd row counts fold the last row under a
+    single ``pl.when`` epilogue. Bit-exact vs the 1-row fold (max is
+    associative/commutative)."""
+    neg = _neg_for(full_buf.dtype)
+    full_row = win == full_buf.shape[2]
+
+    def load(h):
+        if full_row:
+            return full_buf[0, h]
+        return full_buf[0, h, pl.ds(x0, win)]
+
+    for ph in range(p):
+        n_rows = hhi[ph] - hlo[ph]
+
+        def body(t, acc, ph=ph):
+            h = hlo[ph] + 2 * t
+            return jnp.maximum(acc, jnp.maximum(load(h), load(h + 1)))
+
+        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        acc = jax.lax.fori_loop(0, n_rows // 2, body, init, unroll=False)
+        band[ph, :win] = acc
+
+        @pl.when(n_rows % 2 == 1)
+        def _(ph=ph):
+            band[ph, :win] = jnp.maximum(
+                band[ph, :win], load(jnp.maximum(hhi[ph] - 1, 0))
+            )
+
+
 def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile,
                      n_unroll=None):
     """Stage A (narrow path): per-bin row fold with the running max as the
@@ -824,6 +917,8 @@ def _fused_pool_kernel(
     out_ref,  # [(3,) 1, P, P, RB, CT] VMEM
     scale_ref,  # [(3,) 1, 1, RB] VMEM (quant) or None-like dummy
     full_buf,  # [1, H, W_dma, CT] VMEM resident tile
+    l2_buf,  # [1, H, W_dma, CT] shared H-direction 4-row range-max pyramid
+    #         (hpyr mode) or None
     band_a2,  # [2, P, W_band, CT] feat-dtype scratch, DOUBLE-buffered: ROI
     #          i uses slot i&1 so ROI i+1's stage-A VPU walk has no
     #          write-after-read hazard against ROI i's stage-B MXU gathers —
@@ -857,6 +952,8 @@ def _fused_pool_kernel(
     # gives Mosaic's scheduler the chance to co-issue the two units (the
     # bands are already double-buffered, so there is no data hazard)
     row_unroll=None,  # static per-bin row cap (narrow plain path)
+    hpyr: bool = False,  # stage A reads the shared 4-row H-pyramid for
+    # bins >= 4 rows (see _fold_rows_carry_h4); l2_buf must be provided
     stage_b: str = "dots",  # "dots" (7 per-ph gathers) | "bd" (block-diag)
     stage_b_wide: str = "pyr",  # wide full-row stage B: "pyr" = range-max
     # pyramid + 5-span gather (see _onehot_gather_max_pyr; requires
@@ -864,7 +961,8 @@ def _fused_pool_kernel(
     l_max: int = 5,  # static pyramid depth (from w_dma at the entry)
     fold: str = "seq",  # stage A row walk: "seq" per-bin carry | "il"
     # p-way interleaved in-place | "il2" interleaved + branchless clamped
-    # re-max (see _fold_rows_interleaved)
+    # re-max (see _fold_rows_interleaved) | "sl2" 2-row slab carry
+    # (_fold_rows_carry_sl2: halves the overhead-bound per-trip cost)
     wide_dot: bool = False,  # wide ROIs: full-row MXU gather stage B as a
     # 3rd per-ROI pl.when body — MEASURED DEAD (mixed 703 vs 319 ms, and
     # merely TRACING the extra body slowed all-narrow 183 -> 639: per-ROI
@@ -916,6 +1014,8 @@ def _fused_pool_kernel(
         )
         cp.start()
         cp.wait()
+        if hpyr:
+            _build_h4(full_buf, l2_buf, full_buf.shape[1])
 
     neg = _neg_for(full_buf.dtype)
 
@@ -966,10 +1066,19 @@ def _fused_pool_kernel(
             if w_sl is not None:
                 x0 = jnp.clip(rx1, 0, w_dma - w_sl)
                 x0 = pl.multiple_of((x0 // 8) * 8, 8)
-                if fold in ("il", "il2"):
+                if hpyr:
+                    _fold_rows_carry_h4(
+                        full_buf, l2_buf, band_a, hlo, hhi, x0, w_sl, p,
+                        c_tile,
+                    )
+                elif fold in ("il", "il2"):
                     _fold_rows_interleaved(
                         full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile,
                         branchless=(fold == "il2"),
+                    )
+                elif fold == "sl2":
+                    _fold_rows_carry_sl2(
+                        full_buf, band_a, hlo, hhi, x0, w_sl, p, c_tile
                     )
                 else:
                     _fold_rows_carry(
@@ -1007,10 +1116,19 @@ def _fused_pool_kernel(
                 # ms/batch at the honest 19%-wide COCO mix) vs ~3-6 us of
                 # MXU dots.
                 x0 = jnp.int32(0)
-                if fold in ("il", "il2"):
+                if hpyr:
+                    _fold_rows_carry_h4(
+                        full_buf, l2_buf, band_a, hlo, hhi, x0, wd, p,
+                        c_tile,
+                    )
+                elif fold in ("il", "il2"):
                     _fold_rows_interleaved(
                         full_buf, band_a, hlo, hhi, x0, wd, p, c_tile,
                         branchless=(fold == "il2"),
+                    )
+                elif fold == "sl2":
+                    _fold_rows_carry_sl2(
+                        full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
                     )
                 else:
                     _fold_rows_carry(
@@ -1023,10 +1141,19 @@ def _fused_pool_kernel(
             elif stage_b_wide == "pyr":
                 # wide full-row pyramid stage B (see _onehot_gather_max_pyr)
                 x0 = jnp.int32(0)
-                if fold in ("il", "il2"):
+                if hpyr:
+                    _fold_rows_carry_h4(
+                        full_buf, l2_buf, band_a, hlo, hhi, x0, wd, p,
+                        c_tile,
+                    )
+                elif fold in ("il", "il2"):
                     _fold_rows_interleaved(
                         full_buf, band_a, hlo, hhi, x0, wd, p, c_tile,
                         branchless=(fold == "il2"),
+                    )
+                elif fold == "sl2":
+                    _fold_rows_carry_sl2(
+                        full_buf, band_a, hlo, hhi, x0, wd, p, c_tile
                     )
                 else:
                     _fold_rows_carry(
@@ -1110,7 +1237,7 @@ def _fused_pool_kernel(
             # aligned one-hot/reshape shapes (k = p*j_cap)
             j_wide = -(-(-(-w_lim // p) + 1) // 8) * 8
             if (
-                force_narrow and pipe
+                force_narrow and pipe and not hpyr
                 and not w8hc and stage_b == "dots" and fold == "seq"
                 and not ablate
             ):
@@ -1334,7 +1461,8 @@ def _fused_pool_kernel(
     static_argnames=(
         "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
         "loop_pool", "context_ratio", "quant", "interpret", "out_layout",
-        "meta_dma", "win", "force_narrow", "pipe", "row_unroll", "stage_b",
+        "meta_dma", "win", "force_narrow", "pipe", "row_unroll", "hpyr",
+        "stage_b",
         "stage_b_wide", "fold", "wide_dot", "ablate",
     ),
 )
@@ -1372,6 +1500,12 @@ def roi_pool_fused_batched(
     # stage-A fold: replaces each bin's dynamic-trip fori with a masked
     # unroll. Correct only when rh <= (row_unroll - 1) * output_size for
     # every valid ROI (value-thresholded height splits).
+    hpyr: bool = False,  # stage A via a SHARED H-direction 4-row range-max
+    # pyramid built once per resident-tile refresh: bins >= 4 rows fold
+    # ceil(n/4) pyramid rows instead of n raw rows (exact; the walk is
+    # VMEM-bandwidth-bound, so tall bins cut their bytes ~3.5x). Costs a
+    # second tile-sized VMEM buffer — the auto c_tile heuristic halves.
+    # Plain pool only (no loop_pool/w8hc).
     stage_b: str = "dots",  # narrow plain-pool stage B: "dots" = 7 per-ph
     # gather dots; "bd" = ONE block-diag [p*k, p*wd] gather dot (see
     # _onehot_candidates_bd)
@@ -1379,8 +1513,9 @@ def roi_pool_fused_batched(
     # range-max pyramid + 5-span gather (exact for image-clipped rois —
     # every shipped caller clips; see _onehot_gather_max_pyr) | "vpu" =
     # _band_max, exact for arbitrary boxes (measured ~5x slower all-wide)
-    fold: str = "seq",  # stage A: "seq" per-bin carry fold | "il" p-way
-    # interleaved in-place fold (see _fold_rows_interleaved)
+    fold: str = "seq",  # stage A: "seq" per-bin carry fold | "il"/"il2" p-way
+    # interleaved in-place folds (see _fold_rows_interleaved) | "sl2"
+    # 2-row slab carry fold
     wide_dot: bool = False,  # wide (rw > win-7) ROIs take a full-row-band
     # MXU gather stage B as a 3rd per-ROI body — MEASURED DEAD on v5e
     # (see _fused_pool_kernel wide_dot comment); use the width-split wide
@@ -1462,11 +1597,16 @@ def roi_pool_fused_batched(
         # round-3 "chain gap". One call + per-image DMA has no such copy.)
         meta_dma = b * n_pad_est * roi_bytes > SMEM_BUDGET
 
+    if hpyr:
+        assert not loop_pool and out_layout != "w8hc", (
+            "hpyr is a plain-pool stage-A mode"
+        )
     if c_tile is None:
         itemsize = {1: 1, 2: 2}.get(jnp.dtype(feat.dtype).itemsize, 4)
         c_tile = 256 if loop_pool else 512  # loop pool: 2 extra band buffers
+        tiles = 2 if hpyr else 1  # hpyr: the l2 pyramid doubles tile VMEM
         while c_tile > 128 and (
-            h * (-(-w // 8) * 8) * c_tile * itemsize > 12_500_000
+            h * (-(-w // 8) * 8) * c_tile * itemsize * tiles > 12_500_000
             or c_take % c_tile != 0
         ):
             c_tile //= 2
@@ -1618,6 +1758,7 @@ def roi_pool_fused_batched(
     w_band = w_dma
     scratch = [
         pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype),
+        pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype) if hpyr else None,
         pltpu.VMEM((2, p, w_band, c_tile), feat.dtype),
     ]
     scratch.append(
@@ -1664,12 +1805,16 @@ def roi_pool_fused_batched(
         if meta_dma:
             *rest, meta_s, gate_s2, sem_m, sem_g = rest
             rois_s, gate_s = meta_s, gate_s2
+        l2s = None
         if loop_pool:
             full, ba, bb, sem_ = rest
             wb = None
         elif w8hc:
             full, ba, wb, sem_ = rest
             bb = None
+        elif hpyr:
+            full, l2s, ba, sem_ = rest
+            bb = wb = None
         else:
             full, ba, sem_ = rest
             bb = wb = None
@@ -1701,7 +1846,7 @@ def roi_pool_fused_batched(
                     cp.wait()
         _fused_pool_kernel(
             rois_s, gate_s, cbase_s, src_s, cls_s, feat_ref, out_r, scale_r,
-            full, ba, bb, wb, sem_,
+            full, l2s, ba, bb, wb, sem_,
             p=p, spatial_scale=spatial_scale, roi_block=roi_block,
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
@@ -1709,8 +1854,8 @@ def roi_pool_fused_batched(
             cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c, w8hc=w8hc,
             meta_dma=meta_dma,
             force_narrow=force_narrow, pipe=pipe, row_unroll=row_unroll,
-            stage_b=stage_b, stage_b_wide=stage_b_wide, l_max=l_max,
-            fold=fold, wide_dot=wide_dot, ablate=ablate,
+            hpyr=hpyr, stage_b=stage_b, stage_b_wide=stage_b_wide,
+            l_max=l_max, fold=fold, wide_dot=wide_dot, ablate=ablate,
         )
 
     if meta_dma:
