@@ -208,6 +208,8 @@ def main():
         @jax.jit
         def run_pool(params, feats, proposals):
             def m_pool(m, f, p):
+                from wsovod_tpu.models.poolers import SegmentedChunks
+
                 rh = m.roi_heads
                 chunks, _ = rh.pooler.fused_chunk_pool(
                     [f[k] for k in rh.in_features],
@@ -216,6 +218,8 @@ def main():
                 )
                 if chunks is None:
                     return jnp.float32(0.0)
+                if isinstance(chunks, SegmentedChunks):
+                    chunks = [c for seg in chunks.segments for c in seg]
                 t = jnp.float32(0.0)
                 for ch in chunks:
                     for part in jax.tree_util.tree_leaves(ch):

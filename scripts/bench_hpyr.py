@@ -146,3 +146,39 @@ timeit("all-wide base 2body win48      ", mk(48), feat, rois_wide, gate)
 timeit("mixed  split78 n48/hpyr        ", mk_split(0.78), feat, rois_mixed, gate)
 timeit("mixed  split85 n48/hpyr        ", mk_split(0.85), feat, rois_mixed, gate)
 timeit("mixed  base 2body win48        ", mk(48), feat, rois_mixed, gate)
+
+
+# stage B for the hpyr wide segment: the per-ROI W-direction pyramid build
+# is k levels x p bins of in-place [wd, CT] RMW (~2-3 MB VMEM traffic per
+# visit — possibly THE wide stage-B cost); the j_cap~24 gather dots pay 7
+# MXU issues instead. A/B both under hpyr stage A.
+def mk_sbw(sbw):
+    @jax.jit
+    def run(feat, rois, gate):
+        acc = None
+        for cb in range(0, C, CT):
+            r = roi_pool_fused_batched(
+                feat, rois, gate, cb, c_take=CT, spatial_scale=scale,
+                win=1024, force_narrow=True, hpyr=True, stage_b_wide=sbw,
+            )
+            v = consume(r)
+            acc = v if acc is None else acc + v
+        return acc
+
+    return run
+
+
+if os.environ.get("BENCH_HPYR_SBW", "0") == "1":
+    a = roi_pool_fused_batched(
+        feat, rois_wide, gate, 0, c_take=CT, spatial_scale=scale,
+        win=1024, force_narrow=True, hpyr=True, stage_b_wide="pyr",
+    )
+    b = roi_pool_fused_batched(
+        feat, rois_wide, gate, 0, c_take=CT, spatial_scale=scale,
+        win=1024, force_narrow=True, hpyr=True, stage_b_wide="vpu",
+    )
+    ok = bool(jnp.all(a.astype(jnp.float32) == b.astype(jnp.float32)))
+    print(f"exact[hpyr sbw dots vs pyr]: {'OK' if ok else 'MISMATCH'}",
+          flush=True)
+    timeit("all-wide hpyr sbw=pyr ", mk_sbw("pyr"), feat, rois_wide, gate)
+    timeit("all-wide hpyr sbw=dots", mk_sbw("vpu"), feat, rois_wide, gate)

@@ -1200,3 +1200,176 @@ def test_model_level_hpyr_wiring(monkeypatch):
         np.testing.assert_array_equal(got, want)
     finally:
         rpf._INTERPRET = False
+
+
+def test_fused_loop_pool_merged_vs_split_bands():
+    """The merged a|b band form (ONE [wd, 2CT] dot rhs per walk; 14 dots +
+    3 j-group passes) is bit-exact vs the split two-band form."""
+    feat, rois, gate = _mk(17, n=16, wide_frac=0.4)
+    ref = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, loop_pool=True,
+        interpret=True, loop_merged=False,
+    )
+    got = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, loop_pool=True,
+        interpret=True, loop_merged=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_model_level_loop_split_hybrid(monkeypatch):
+    """The ROILoopPool width-split hybrid (force-narrow head + wide-only
+    tail, default ON) reproduces the unsplit fused loop path bit-for-bit
+    through the DAN after unsorting — plain and MRRP-branched."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler, SegmentedChunks
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(37)
+        b, h, w, c, n = 1, 10, 12, 128, 256
+        n_br = 2
+        feat = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 30, (b, n, 2))
+        wh = np.concatenate(
+            [rng.uniform(2, 20, (b, n - 32, 2)), rng.uniform(25, 45, (b, 32, 2))],
+            axis=1,
+        )
+        rois = np.concatenate([xy, xy + wh], -1)
+        rois[..., [0, 2]] = rois[..., [0, 2]].clip(0, w / 0.25)
+        rois[..., [1, 3]] = rois[..., [1, 3]].clip(0, h / 0.25)
+        rois = jnp.asarray(rois.astype(np.float32))
+        valid = jnp.asarray(rng.rand(b, n) > 0.1)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        rois = jnp.where(valid[..., None], rois, 0.0)
+        lvl = jnp.asarray(rng.randint(0, n_br, (b, n)) * 1000, jnp.int32)
+
+        dan = DiscriminativeAdaptationNeck(fc_dims=(8,))
+        for use_mrrp in (False, True):
+            pooler = ROIPooler(
+                7, scales=[0.25], pooler_type="ROILoopPool",
+                roi_align_kernel="fused", mrrp_on=use_mrrp,
+                mrrp_num_branch=n_br if use_mrrp else 1,
+            )
+            f_in = [feat] if use_mrrp else [feat[:b]]
+            kw = dict(level_ids=lvl) if use_mrrp else {}
+
+            monkeypatch.setenv("WSOVOD_LOOP_SPLIT", "0")
+            plain, un0 = pooler.fused_chunk_pool(
+                f_in, rois, obj, valid, train=False, **kw
+            )
+            lay = dict(chunk_layout=pooler.chunk_layout_used, pooled_hw=(7, 7))
+            params = dan.init(jax.random.PRNGKey(0), plain, train=False, **lay)
+            want = np.asarray(dan.apply(params, plain, train=False, **lay))
+            if un0 is not None:
+                want = np.take_along_axis(
+                    want, np.asarray(un0)[None, ..., None], axis=-2
+                )
+
+            monkeypatch.setenv("WSOVOD_LOOP_SPLIT", "1")
+            chunks, unsort = pooler.fused_chunk_pool(
+                f_in, rois, obj, valid, train=False, **kw
+            )
+            assert isinstance(chunks, SegmentedChunks) and unsort is not None
+            got = jnp.concatenate(
+                [
+                    dan.apply(params, s, train=False, **lay)
+                    for s in chunks.segments
+                ],
+                axis=-2,
+            )
+            got = np.asarray(
+                jnp.take_along_axis(got, unsort[None, ..., None], axis=-2)
+            )
+            np.testing.assert_array_equal(got, want)
+    finally:
+        rpf._INTERPRET = False
+
+
+def test_model_level_loop_split_train(monkeypatch):
+    """Train-mode ROILoopPool loop-split: the segment-order fc1 row gate
+    must be SLICED to each segment's rows (regression: the full-size
+    [B, N'] gate broadcast against a segment-sized fc1 output crashed the
+    MRRP train step at trace time). With dropout stubbed to identity the
+    split losses match the unsplit path and param grads stay finite —
+    plain and MRRP-branched."""
+    import flax.linen as nn
+
+    from wsovod_tpu.models.poolers import ROIPooler
+    from wsovod_tpu.models.roi_heads import WSOVODROIHeads
+    from wsovod_tpu.structures.instances import Instances
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    monkeypatch.setattr(nn.Dropout, "__call__", lambda self, x, **kw: x)
+    monkeypatch.setenv("WSOVOD_LOOP_SPLIT_MIN", "16")
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(7)
+        b, h, w, c, n, n_br = 1, 10, 12, 128, 32, 2
+        feat_b = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+        xy = rng.uniform(0, 30, (b, n, 2))
+        wh = np.concatenate(
+            [rng.uniform(2, 18, (b, n - 8, 2)), rng.uniform(28, 44, (b, 8, 2))],
+            axis=1,
+        )
+        rois = np.concatenate([xy, xy + wh], -1)
+        rois[..., [0, 2]] = rois[..., [0, 2]].clip(0, w / 0.25)
+        rois[..., [1, 3]] = rois[..., [1, 3]].clip(0, h / 0.25)
+        lvl = jnp.asarray(rng.randint(0, n_br, (b, n)) * 1000, jnp.int32)
+        obj = jnp.asarray(rng.rand(b, n).astype(np.float32))
+        gt_classes = jnp.asarray([[0, 2]])
+        gt_valid = jnp.ones((1, 2), bool)
+        emb = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+
+        for mrrp in (False, True):
+            proposals = Instances(
+                jnp.ones((b, n), bool),
+                proposal_boxes=jnp.asarray(rois.astype(np.float32)),
+                objectness_logits=obj,
+                **(dict(level_ids=lvl) if mrrp else {}),
+            )
+            feats = {"res5": feat_b if mrrp else feat_b[:b]}
+            pooler = ROIPooler(
+                7, scales=[0.25], pooler_type="ROILoopPool",
+                roi_align_kernel="fused", mrrp_on=mrrp,
+                mrrp_num_branch=n_br if mrrp else 1,
+            )
+            heads = WSOVODROIHeads(
+                num_classes=4, pooler=pooler, dan_fc_dims=(16, 16),
+                refine_k=1, refine_reg=(True,), ov_weight_dim=8,
+                rpn_on=False, mrrp_on=mrrp, mrrp_num_branch=n_br,
+            )
+            init_rngs = {
+                "params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+            }
+            params = heads.init(
+                init_rngs, feats, proposals, gt_classes, gt_valid,
+                embeddings=emb, rng=jax.random.PRNGKey(2),
+            )
+
+            def loss_fn(p, heads=heads, feats=feats, proposals=proposals):
+                out = heads.apply(
+                    p, feats, proposals, gt_classes, gt_valid,
+                    embeddings=emb, rng=jax.random.PRNGKey(2),
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+                return sum(jax.tree_util.tree_leaves(out.losses))
+
+            l_split, g_split = jax.value_and_grad(loss_fn)(params)
+            assert np.isfinite(float(l_split))
+            assert all(
+                np.all(np.isfinite(np.asarray(g)))
+                for g in jax.tree_util.tree_leaves(g_split)
+            )
+
+            monkeypatch.setenv("WSOVOD_LOOP_SPLIT", "0")
+            l_base = loss_fn(params)
+            monkeypatch.setenv("WSOVOD_LOOP_SPLIT", "1")
+            np.testing.assert_allclose(
+                float(l_split), float(l_base), rtol=1e-5,
+                err_msg=f"mrrp={mrrp}",
+            )
+    finally:
+        rpf._INTERPRET = False

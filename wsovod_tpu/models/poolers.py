@@ -67,8 +67,11 @@ class SegmentedChunks:
     (cheap) before applying ``unsort_idx`` — concatenating the pooled chunks
     themselves would re-materialize the multi-GB tensor."""
 
-    def __init__(self, segments):
+    def __init__(self, segments, sizes=None):
         self.segments = segments  # list of per-segment chunk lists
+        # per-segment ROI row counts (post any branch padding) so a train
+        # caller can slice its segment-order [B, N'] fc1 row gate to match
+        self.sizes = sizes
 
 
 def branch_partition(
@@ -385,6 +388,140 @@ class ROIPooler:
                 return r[0], jnp.max(r[1], axis=(-3, -1))
             return post_tile8(r)
 
+        # ---- ROILoopPool width-split hybrid (DEFAULT ON; WSOVOD_LOOP_SPLIT=0
+        # disables). The loop program's per-ROI narrow/wide pl.when pair
+        # taxes the whole sweep ~2x (2570 ms two-body vs 1318 force-narrow,
+        # all-narrow dist, measured 2026-08-20 v5e): split into a
+        # force-narrow head and a capacity-bounded wide-only tail — each a
+        # SINGLE-body program. Tail capacity WSOVOD_LOOP_WIDE_FRAC (default
+        # 0.25; honest SAM mix is ~20% wide); see the sort-key comment below
+        # for how spare capacity / overflow distribute. Composes with MRRP
+        # branch sorting (each segment branch-partitioned separately).
+        use_loop_split = (
+            loop
+            and boxes.shape[1]
+            >= int(os.environ.get("WSOVOD_LOOP_SPLIT_MIN", "256"))
+            and not use_cls
+            and os.environ.get("WSOVOD_LOOP_SPLIT", "1") == "1"
+        )
+        if use_loop_split:
+            from ..ops.pallas.roi_pool_fused import LOOP_WIN
+
+            n_rois = boxes.shape[1]
+            s_sc = self.scales[0]
+            img_w = feat.shape[2] / s_sc
+            x1, x2 = boxes[..., 0], boxes[..., 2]
+            out_dw = (x2 - x1) * ((1.8 - 1.0) * 0.5)
+
+            def cells(a, bb):
+                ra = jnp.floor(a * s_sc + 0.5).astype(jnp.int32)
+                rb = jnp.floor(bb * s_sc + 0.5).astype(jnp.int32)
+                return rb - ra + 1
+
+            # same rounding/clipping as the kernel meta (_pack_loop_meta)
+            rw_o = cells(
+                jnp.clip(x1 - out_dw, 0.0, img_w),
+                jnp.clip(x2 + out_dw, 0.0, img_w),
+            )
+            rw_r = cells(x1, x2)
+            frac = float(os.environ.get("WSOVOD_LOOP_WIDE_FRAC", "0.25"))
+            k_cap = min(n_rois - 8, max(8, int(round(frac * n_rois / 8)) * 8))
+            k_split = n_rois - k_cap
+            # distance-to-wide-threshold key (>0 iff wide): every ROI sorts
+            # by how close it is to the force program's limits, so on a
+            # narrow-heavy batch the tail's spare capacity fills with the
+            # WIDEST narrows (largest walks — closest to break-even on the
+            # full-row program) instead of arbitrary rows, and on overflow
+            # only the narrowest wides spill into the force segment.
+            # Invalid (gate-0) rows sort most-narrow: their zeroed boxes
+            # pool nothing either way.
+            sort_key = jnp.where(
+                gate > 0,
+                jnp.maximum(rw_o - (LOOP_WIN - 7), rw_r - 7 * 15),
+                jnp.int32(-(1 << 30)),
+            )
+            order = jnp.argsort(sort_key, axis=1, stable=True).astype(
+                jnp.int32
+            )
+            u1 = jnp.argsort(order, axis=1).astype(jnp.int32)
+            boxes_w = jnp.take_along_axis(boxes, order[..., None], axis=1)
+            gate_w = jnp.take_along_axis(gate, order, axis=1)
+            # wide-tail body: "vpu" masked band max (exact for ANY box)
+            # also measured FASTER than the jc_wide dots body as the
+            # single-body wide program (mixed split 1914 vs 2054 ms,
+            # 2026-08-20 v5e — no narrow ROIs left to tax here, and the
+            # tall dots set loses to the plain walk)
+            wide_body = os.environ.get("WSOVOD_LOOP_SPLIT_WIDE", "vpu")
+            seg_kws = (
+                (slice(0, k_split), dict(win=LOOP_WIN, force_narrow=True)),
+                (slice(k_split, None), dict(win=1 << 20, loop_wide=wide_body)),
+            )
+            segs, unsorts, offs, off = [], [], [], 0
+            for sl, kw_sl in seg_kws:
+                bx, gt = boxes_w[:, sl], gate_w[:, sl]
+                if mrrp:
+                    n_br = feat.shape[0] // b
+                    branch = (
+                        (level_ids // 1000) % n_br
+                        if level_ids is not None
+                        else jnp.zeros(boxes.shape[:2], jnp.int32)
+                    )
+                    br = jnp.take_along_axis(branch, order, axis=1)[:, sl]
+                    bx, gt, br_s, un2 = branch_partition(bx, gt, br, n_br)
+
+                    def mk_seg(cb, bx=bx, gt=gt, br_s=br_s, kw_sl=kw_sl):
+                        if use_maxabs or not train:
+                            return call_batched(
+                                bx, gt, cb,
+                                src_tbl=_branch_src_tbl(br_s, b, 8), **kw_sl
+                            )
+                        return roi_pool_fused_branched_ad(
+                            feat, bx, gt, br_s.astype(jnp.float32), cb,
+                            c_take, self.output_size, self.scales[0], loop,
+                            1.8, kw_sl.get("win"),
+                            kw_sl.get("force_narrow", False),
+                            kw_sl.get("loop_wide"),
+                        )
+                else:
+                    un2 = None
+
+                    def mk_seg(cb, bx=bx, gt=gt, kw_sl=kw_sl):
+                        if use_maxabs or not train:
+                            return call_batched(bx, gt, cb, **kw_sl)
+                        return roi_pool_fused_ad(
+                            feat, bx, gt, cb, c_take, self.output_size,
+                            self.scales[0], loop, 1.8, kw_sl.get("win"),
+                            kw_sl.get("force_narrow", False),
+                            kw_sl.get("loop_wide"),
+                        )
+
+                segs.append(emit(mk_seg, bx.shape[1], loop))
+                unsorts.append(un2)
+                offs.append(off)
+                off += bx.shape[1]
+
+            if unsorts[0] is not None:
+                # width-position -> final row (per-segment branch position
+                # plus the segment's start offset), then orig -> final
+                pos = jnp.concatenate(
+                    [unsorts[0], unsorts[1] + offs[1]], axis=1
+                )
+                unsort_idx = jnp.take_along_axis(pos, u1, axis=1)
+            else:
+                unsort_idx = u1
+            if self.train_row_gate is not None:
+                bidx = jnp.arange(b)[:, None]
+                self.train_row_gate = (
+                    jnp.zeros((b, off), jnp.float32)
+                    .at[bidx, unsort_idx]
+                    .set(gate_full)
+                )
+            return (
+                SegmentedChunks(segs, sizes=[o2 - o1 for o1, o2 in
+                                             zip(offs, offs[1:] + [off])]),
+                unsort_idx,
+            )
+
         if mrrp:
             n_br = feat.shape[0] // b
             branch = (
@@ -444,7 +581,8 @@ class ROIPooler:
         # (15.50 vs 15.54 img/s mixed-dist; win24 vs win48 pool-only 176 vs
         # 183 — the kernel cost is per-ROI stage-B/store dominated, not
         # band-width) — default OFF; WSOVOD_POOL_WSPLIT=1 re-enables.
-        # hpyr (A/B, WSOVOD_POOL_HPYR=1): width-sort, then pool the WIDE
+        # hpyr (DEFAULT ON; WSOVOD_POOL_HPYR=0 disables): width-sort, then
+        # pool the WIDE
         # tail segment with the full-row force program + the shared
         # H-direction 4-row pyramid (fewer stage-A bytes for the tall
         # walks that dominate the honest mix's wide 20%); the narrow
@@ -458,7 +596,7 @@ class ROIPooler:
             and not use_maxabs
             and not mrrp
             and n_rois >= 256
-            and os.environ.get("WSOVOD_POOL_HPYR", "0") == "1"
+            and os.environ.get("WSOVOD_POOL_HPYR", "1") == "1"
         )
         use_wsplit = (
             (not train)
@@ -490,12 +628,20 @@ class ROIPooler:
                 boxes_w = jnp.take_along_axis(boxes, order[..., None], axis=1)
                 gate_w = jnp.take_along_axis(gate, order, axis=1)
                 if use_hpyr:
+                    # wide tail: full-row force + H-pyramid stage A +
+                    # j_cap gather-dot stage B (596.7 vs 635.8 ms all-wide
+                    # for the W-pyramid form, measured 2026-08-20 v5e)
                     seg_kws = (
                         (slice(0, k_split), k_split, dict(win=48)),
                         (
                             slice(k_split, None),
                             n_rois - k_split,
-                            dict(win=1 << 20, force_narrow=True, hpyr=True),
+                            dict(
+                                win=1 << 20,
+                                force_narrow=True,
+                                hpyr=True,
+                                stage_b_wide="vpu",
+                            ),
                         ),
                     )
                 else:
@@ -511,7 +657,10 @@ class ROIPooler:
                         )
 
                     segs.append(emit(mk_seg, n_sl, False))
-                return SegmentedChunks(segs), unsort_idx
+                return (
+                    SegmentedChunks(segs, sizes=[k for _, k, _ in seg_kws]),
+                    unsort_idx,
+                )
 
         # full-row single-body program (A/B, WSOVOD_POOL_FULLROW=1): every
         # ROI takes the force_narrow full-row path — exact for image-clipped

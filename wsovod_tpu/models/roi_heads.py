@@ -223,14 +223,24 @@ class WSOVODROIHeads(nn.Module):
             )
             if isinstance(chunks, SegmentedChunks):
                 # width-split segments: fc per segment, concat on the cheap
-                # [B, P_seg, F] outputs, then unsort below
-                box_features = jnp.concatenate(
-                    [
-                        self.box_head(s, train=train, **layout_kw)
-                        for s in chunks.segments
-                    ],
-                    axis=-2,
-                )
+                # [B, P_seg, F] outputs, then unsort below. The train fc1
+                # row gate arrives in segment-concatenated order ([B, N'],
+                # see poolers) and must be sliced to each segment's rows.
+                gate_full = layout_kw.pop("row_gate")
+                outs, o = [], 0
+                for s, n_s in zip(chunks.segments, chunks.sizes):
+                    g_s = (
+                        gate_full[..., o : o + n_s]
+                        if gate_full is not None
+                        else None
+                    )
+                    outs.append(
+                        self.box_head(
+                            s, train=train, row_gate=g_s, **layout_kw
+                        )
+                    )
+                    o += n_s
+                box_features = jnp.concatenate(outs, axis=-2)
             else:
                 box_features = self.box_head(
                     chunks, train=train, **layout_kw

@@ -941,6 +941,13 @@ def _fused_pool_kernel(
     context_ratio: float,
     quant: str,
     cls_wins=(),  # ((w_sl, j_cap), ...) per class id; w_sl None = wide
+    loop_merged: bool = False,  # loop pool: a/b bands as lane-block halves
+    # of one [p, w, 2CT] buffer -> 14 gather dots + 3 j-group passes per
+    # ROI instead of 28 + 5 (band_b2 is then unused/None)
+    loop_wide: str = "dots",  # loop wide body: "dots" = full-row gather
+    # dots at jc_wide (compact; exact for boxes within ~2x the image) |
+    # "vpu" = the masked-band-max body (exact for ANY box, but its
+    # coexistence taxes every narrow ROI ~3.9 us/visit)
     nmajor: bool = False,
     n56c: bool = False,
     w8hc: bool = False,
@@ -1328,8 +1335,19 @@ def _fused_pool_kernel(
 
     for i in range(roi_block):
         ri = rbi * roi_block + i
-        band_a = band_a2.at[i % 2]
-        band_b = band_b2.at[i % 2]
+        if loop_merged:
+            # merged band: a/b are lane-block halves of ONE [p, w, 2CT]
+            # buffer, so each walk's TWO bands feed stage B as a single
+            # [wd, 2CT] dot rhs — 14 gather dots per ROI instead of 28
+            # (the dots are fill/drain-bound: ~72 ns each regardless of
+            # width, measured 2026-08-20)
+            band_ab = band_a2.at[i % 2]
+            band_a = band_a2.at[i % 2, :, :, pl.ds(0, c_tile)]
+            band_b = band_a2.at[i % 2, :, :, pl.ds(c_tile, c_tile)]
+        else:
+            band_ab = None
+            band_a = band_a2.at[i % 2]
+            band_b = band_b2.at[i % 2]
 
         # ---- ROILoopPool: ROI / frame / context ------------------------
         # all geometry (two regions + hole/row-condition edges) precomputed
@@ -1345,11 +1363,12 @@ def _fused_pool_kernel(
         )
         ixa, ixb, rxa, rxb, iya, iyb, rya, ryb = vals[2 * k2 :]
 
-        def compute_loop(x0, w_sl):
+        def compute_loop(x0, w_sl, jc=16):
+            # jc: one-hot candidate budget per bin (narrow win96 default:
+            # bin width <= ceil(89/7)+1 = 14 -> 16)
             wd = w_sl or w_dma
             init = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
             dt = full_buf.dtype
-            jc = 16  # win96: bin width <= ceil(89/7)+1 = 14
 
             # walk 1: ROI rows -> band_a (all), band_b (outside inner)
             cond1 = lambda h: jnp.logical_or(h <= iya, h >= iyb)
@@ -1365,7 +1384,25 @@ def _fused_pool_kernel(
                     full_buf, band_a, band_b, hlo_r, hhi_r, x0, wd, w_sl, p,
                     row_cond=cond1,
                 )
-            if w_sl is not None:
+            if w_sl is not None and loop_merged:
+                # merged MXU stage B: ONE dot set over the [wd, 2CT]
+                # a|b band pair; the a-half's plain and b-half's plain
+                # reduces share one merged j-group pass (same mask)
+                vab, valid_r, tabs_r = _onehot_candidates(
+                    band_ab, wd, x0, rx1_r, rw_r, w_lim, p, jc,
+                    2 * c_tile, dt
+                )
+                hole_f = jnp.logical_and(
+                    valid_r,
+                    jnp.logical_or(tabs_r <= ixa, tabs_r >= ixb),
+                )
+                merged = _jgroup_max(vab, valid_r, p, jc, 2 * c_tile)
+                pooled_roi = merged[..., :c_tile]
+                f2 = merged[..., c_tile:]
+                f1 = _jgroup_max(
+                    [v[:, :c_tile] for v in vab], hole_f, p, jc, c_tile
+                )
+            elif w_sl is not None:
                 # MXU stage B: ONE candidate-gather dot set per band,
                 # shared across the region variants (hole masks apply at
                 # the j-group reduce, not in the dot)
@@ -1410,7 +1447,29 @@ def _fused_pool_kernel(
                     full_buf, band_a, band_b, hlo_o, hhi_o, x0, wd, w_sl, p,
                     row_cond=cond2,
                 )
-            if w_sl is not None:
+            if w_sl is not None and loop_merged:
+                vab, valid_o, tabs_o = _onehot_candidates(
+                    band_ab, wd, x0, rx1_o, rw_o, w_lim, p, jc,
+                    2 * c_tile, dt
+                )
+                hole_c = jnp.logical_and(
+                    valid_o,
+                    jnp.logical_or(tabs_o <= rxa, tabs_o >= rxb),
+                )
+                # per-half masks (hole for the a-half, plain for b) ride
+                # one [k, 2CT] mask through a single merged j-group pass
+                kk = p * jc
+                mask2 = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(hole_c, (kk, c_tile)),
+                        jnp.broadcast_to(valid_o, (kk, c_tile)),
+                    ],
+                    axis=1,
+                )
+                merged = _jgroup_max(vab, mask2, p, jc, 2 * c_tile)
+                c1 = merged[..., :c_tile]
+                c2 = merged[..., c_tile:]
+            elif w_sl is not None:
                 va, valid_o, tabs_o = _onehot_candidates(
                     band_a, wd, x0, rx1_o, rw_o, w_lim, p, jc, c_tile, dt
                 )
@@ -1437,7 +1496,31 @@ def _fused_pool_kernel(
                 rbi * roi_block + i, quant, nmajor, n56c,
             )
 
-        if narrow_enabled:
+        # wide-body candidate budget: covers bins of boxes up to ~2x the
+        # image extent (ceil(2*(w_lim+1)/p)+1, rounded to 8 for the aligned
+        # one-hot/reshape shapes). The OUTER region is always image-clipped
+        # (meta packing); the RAW ROI region of a monster box beyond ~2x
+        # would overflow it — loop_wide='vpu' keeps the exact-for-anything
+        # masked-band-max body for such callers. Default is the compact
+        # dots body: the old VPU wide body's mere COEXISTENCE taxed the
+        # all-narrow loop sweep 2570 -> 1318 ms (measured 2026-08-20 v5e).
+        jc_wide = -(-(-(-2 * (w_lim + 1) // p) + 1) // 8) * 8
+
+        def wide_body():
+            if loop_wide == "vpu":
+                compute_loop(jnp.int32(0), None)
+            else:
+                compute_loop(jnp.int32(0), w_dma, jc_wide)
+
+        if force_narrow and narrow_enabled:
+            # caller GUARANTEES rw_o <= win - 7 and rw_r <= 7*15 for every
+            # valid ROI (width-split loop segments): ONLY the narrow body
+            # is traced — the plain path measured the mere TRACING of an
+            # extra per-ROI body at up to ~2.8 us/visit
+            x0 = jnp.clip(rx1_o, 0, w_dma - win)
+            x0 = pl.multiple_of((x0 // 8) * 8, 8)
+            compute_loop(x0, win)
+        elif narrow_enabled:
             # rw_r is the UNCLIPPED ROI width: an ROI mostly outside the
             # image can have rw_r >> rw_o, overflowing the j_cap=16
             # candidate budget of the MXU stage B -> force it wide
@@ -1451,9 +1534,9 @@ def _fused_pool_kernel(
 
             @pl.when(jnp.logical_not(narrow))
             def _():
-                compute_loop(jnp.int32(0), None)
+                wide_body()
         else:
-            compute_loop(jnp.int32(0), None)
+            wide_body()
 
 
 @functools.partial(
@@ -1462,7 +1545,7 @@ def _fused_pool_kernel(
         "output_size", "spatial_scale", "c_take", "c_tile", "roi_block",
         "loop_pool", "context_ratio", "quant", "interpret", "out_layout",
         "meta_dma", "win", "force_narrow", "pipe", "row_unroll", "hpyr",
-        "stage_b",
+        "loop_merged", "loop_wide", "stage_b",
         "stage_b_wide", "fold", "wide_dot", "ablate",
     ),
 )
@@ -1506,6 +1589,13 @@ def roi_pool_fused_batched(
     # VMEM-bandwidth-bound, so tall bins cut their bytes ~3.5x). Costs a
     # second tile-sized VMEM buffer — the auto c_tile heuristic halves.
     # Plain pool only (no loop_pool/w8hc).
+    loop_merged: bool | None = None,  # loop pool: merge each walk's a/b
+    # bands into one [p, w, 2CT] buffer so stage B runs 14 gather dots +
+    # 3 j-group passes per ROI instead of 28 + 5 (same VMEM).
+    # None = WSOVOD_LOOP_MERGED env, default ON.
+    loop_wide: str | None = None,  # loop wide body: "dots" (default; see
+    # kernel) | "vpu" exact-for-monster-boxes masked band max.
+    # None = WSOVOD_LOOP_WIDE env.
     stage_b: str = "dots",  # narrow plain-pool stage B: "dots" = 7 per-ph
     # gather dots; "bd" = ONE block-diag [p*k, p*wd] gather dot (see
     # _onehot_candidates_bd)
@@ -1620,11 +1710,34 @@ def roi_pool_fused_batched(
     if win is None:
         win = LOOP_WIN if loop_pool else POOL_WIN
     else:
-        assert not loop_pool and win % 8 == 0, (win, loop_pool)
+        assert win % 8 == 0, win
         win = min(win, w_dma)  # full-row segment callers pass win >= w_dma
+        if loop_pool:
+            # loop accepts a win override only for the force-narrow
+            # single-body program (window-class table is fixed) or the
+            # wide-only single-body program (win >= w_dma: narrow_enabled
+            # goes False and every ROI takes the branch-free wide body —
+            # per-ROI pl.when bodies EXECUTE even when not taken on this
+            # Mosaic, so the two-body loop program pays the wide walk for
+            # every narrow ROI: 2570 ms vs 1318 force-narrow, measured
+            # 2026-08-20)
+            assert (force_narrow and win == LOOP_WIN) or win >= w_dma, (
+                win, force_narrow
+            )
     narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
     if pipe is None:
         pipe = os.environ.get("WSOVOD_POOL_PIPE") == "1"
+    if loop_merged is None:
+        loop_merged = os.environ.get("WSOVOD_LOOP_MERGED", "1") == "1"
+    loop_merged = loop_merged and loop_pool
+    if loop_wide is None:
+        # two-body default stays "vpu": with BOTH bodies traced, the dots
+        # wide body measured WORSE end-to-end (MRRP step 4139 vs 3637 ms)
+        # — per-ROI pl.when bodies execute even when not taken, and the
+        # jc_wide dot set costs more than the masked band max it replaces
+        # on narrow-heavy mixes. The single-body wide-only program (win >=
+        # w_dma) selects "dots" explicitly.
+        loop_wide = os.environ.get("WSOVOD_LOOP_WIDE", "vpu")
     # static pyramid depth: k <= floor(log2(max(m_max - 1, 1))) for
     # image-clipped ROIs (m_max = max rw // p = (w + 1) // p)
     l_max = max((max((w + 1) // p - 1, 1)).bit_length() - 1, 1)
@@ -1759,10 +1872,15 @@ def roi_pool_fused_batched(
     scratch = [
         pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype),
         pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype) if hpyr else None,
-        pltpu.VMEM((2, p, w_band, c_tile), feat.dtype),
+        pltpu.VMEM(
+            (2, p, w_band, 2 * c_tile if loop_merged else c_tile),
+            feat.dtype,
+        ),
     ]
     scratch.append(
-        pltpu.VMEM((2, p, w_band, c_tile), feat.dtype) if loop_pool else None
+        pltpu.VMEM((2, p, w_band, c_tile), feat.dtype)
+        if (loop_pool and not loop_merged)
+        else None
     )
     scratch.append(
         pltpu.VMEM((win, 8 * c_tile), feat.dtype) if w8hc else None
@@ -1806,7 +1924,10 @@ def roi_pool_fused_batched(
             *rest, meta_s, gate_s2, sem_m, sem_g = rest
             rois_s, gate_s = meta_s, gate_s2
         l2s = None
-        if loop_pool:
+        if loop_pool and loop_merged:
+            full, ba, sem_ = rest
+            bb = wb = None
+        elif loop_pool:
             full, ba, bb, sem_ = rest
             wb = None
         elif w8hc:
@@ -1851,7 +1972,9 @@ def roi_pool_fused_batched(
             n_pad=n_pad, h_lim=h, w_lim=w, w_dma=w_dma, c_tile=c_tile,
             win=win, narrow_enabled=narrow_enabled, loop_pool=loop_pool,
             context_ratio=context_ratio, quant=quant,
-            cls_wins=POOL_WIN_CLASSES, nmajor=nmajor, n56c=n56c, w8hc=w8hc,
+            cls_wins=POOL_WIN_CLASSES, loop_merged=loop_merged,
+            loop_wide=loop_wide,
+            nmajor=nmajor, n56c=n56c, w8hc=w8hc,
             meta_dma=meta_dma,
             force_narrow=force_narrow, pipe=pipe, row_unroll=row_unroll,
             hpyr=hpyr, stage_b=stage_b, stage_b_wide=stage_b_wide,
@@ -1904,7 +2027,9 @@ def roi_pool_fused_batched(
     return payload_sl(out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
 def roi_pool_fused_ad(
     feat,  # [B, H, W, C]
     rois,  # [B, N, 4]
@@ -1915,6 +2040,9 @@ def roi_pool_fused_ad(
     spatial_scale: float = 1.0,
     loop_pool: bool = False,
     context_ratio: float = 1.8,
+    win: int | None = None,
+    force_narrow: bool = False,
+    loop_wide: str | None = None,
 ):
     """Differentiable fused max pool + gate (bf16/f32 path; the int8 path is
     inference-only and called via ``roi_pool_fused_batched`` directly).
@@ -1925,19 +2053,21 @@ def roi_pool_fused_ad(
         feat, rois, gate, c_base=c_base, c_take=c_take,
         output_size=output_size, spatial_scale=spatial_scale,
         loop_pool=loop_pool, context_ratio=context_ratio,
+        win=win, force_narrow=force_narrow, loop_wide=loop_wide,
     )
 
 
-def _pool_ad_fwd(feat, rois, gate, c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio):
+def _pool_ad_fwd(feat, rois, gate, c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio, win, force_narrow, loop_wide):
     out = roi_pool_fused_batched(
         feat, rois, gate, c_base=c_base, c_take=c_take,
         output_size=output_size, spatial_scale=spatial_scale,
         loop_pool=loop_pool, context_ratio=context_ratio,
+        win=win, force_narrow=force_narrow, loop_wide=loop_wide,
     )
     return out, (feat, rois, gate, out)
 
 
-def _pool_ad_bwd(c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio, res, g):
+def _pool_ad_bwd(c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio, win, force_narrow, loop_wide, res, g):
     from ..roi_pool import roi_loop_pool, roi_pool
 
     feat, rois, gate, out = res
@@ -1986,7 +2116,9 @@ def _branch_src_tbl(branch, b, roi_block):
     return blocks * b + jnp.arange(b, dtype=jnp.int32)[:, None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+)
 def roi_pool_fused_branched_ad(
     feat,  # [n_br*B, H, W, C] branch-major concat (reference MRRP layout)
     rois,  # [B, N'] branch-sorted, segment-padded (blocks branch-pure)
@@ -1999,6 +2131,9 @@ def roi_pool_fused_branched_ad(
     spatial_scale: float = 1.0,
     loop_pool: bool = False,
     context_ratio: float = 1.8,
+    win: int | None = None,
+    force_narrow: bool = False,
+    loop_wide: str | None = None,
 ):
     """Differentiable fused max pool + gate with MRRP branch routing: each
     branch-pure 8-ROI block DMAs its resident tile from the branch's feature
@@ -2010,22 +2145,25 @@ def roi_pool_fused_branched_ad(
         feat, rois, gate, c_base=c_base, c_take=c_take,
         output_size=output_size, spatial_scale=spatial_scale,
         loop_pool=loop_pool, context_ratio=context_ratio, src_tbl=src,
+        win=win, force_narrow=force_narrow, loop_wide=loop_wide,
     )
 
 
 def _pool_branched_fwd(
     feat, rois, gate, branch_f, c_base, c_take, output_size, spatial_scale,
-    loop_pool, context_ratio,
+    loop_pool, context_ratio, win, force_narrow, loop_wide,
 ):
     out = roi_pool_fused_branched_ad(
         feat, rois, gate, branch_f, c_base, c_take, output_size,
-        spatial_scale, loop_pool, context_ratio,
+        spatial_scale, loop_pool, context_ratio, win, force_narrow,
+        loop_wide,
     )
     return out, (feat, rois, gate, branch_f, out)
 
 
 def _pool_branched_bwd(
     c_base, c_take, output_size, spatial_scale, loop_pool, context_ratio,
+    win, force_narrow, loop_wide,
     res, g,
 ):
     from ..roi_pool import roi_loop_pool, roi_pool
