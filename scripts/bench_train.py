@@ -18,10 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_cfg(refine_k=1, bbox_refine=False, depth=18, mrrp=False, pooler="ROIPool"):
+def build_cfg(
+    refine_k=1, bbox_refine=False, depth=18, mrrp=False, pooler="ROIPool",
+    mixed=False,
+):
     from wsovod_tpu.config import get_cfg
 
     cfg = get_cfg()
+    if mixed:
+        # 2-dataset mixed recipe (VOC20 + COCO80) — per-dataset compiled
+        # step, source 0 benched
+        cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN_WSOVOD_MixedDatasets"
+        cfg.DATASETS.MIXED_DATASETS.NAMES = ["voc_2007_trainval", "coco_2017_train"]
+        cfg.DATASETS.MIXED_DATASETS.NUM_CLASSES = [20, 80]
     cfg.MODEL.RESNETS.DEPTH = depth
     cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64 if depth == 18 else 256
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
@@ -53,7 +62,29 @@ def make_batch(B, H, W, S, G=8, seed=0):
 
     rng = np.random.RandomState(seed)
     xy = rng.uniform(0, W * 0.6, (B, S, 2))
-    boxes = np.concatenate([xy, xy + rng.uniform(8, 300, (B, S, 2))], -1)
+    # honest SAM-AMG-like long-tail mix, same as bench.py (the pre-r5 bench
+    # was all-U(8,300) — every box narrow at the loop kernel's win=96, so
+    # the wide-tail program was never exercised in the train numbers).
+    # BENCH_ROI_DIST=narrow restores the old distribution for A/B.
+    if os.environ.get("BENCH_ROI_DIST", "mixed") == "narrow" or S < 64:
+        wh = rng.uniform(8, 300, (B, S, 2))
+    else:
+        u = rng.rand(B, S, 1)
+        wh = np.where(
+            u < 0.80,
+            rng.uniform(8, 300, (B, S, 2)),
+            np.where(
+                u < 0.95,
+                rng.uniform(300, 700, (B, S, 2)),
+                np.stack(
+                    [rng.uniform(0.7, 1.0, (B, S)) * W,
+                     rng.uniform(0.7, 1.0, (B, S)) * H], -1
+                ),
+            ),
+        )
+    boxes = np.concatenate([xy, xy + wh], -1)
+    boxes[..., [0, 2]] = boxes[..., [0, 2]].clip(0, W)
+    boxes[..., [1, 3]] = boxes[..., [1, 3]].clip(0, H)
     return {
         "images": jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32)),
         "image_sizes": jnp.asarray(np.array([[H, W]] * B, np.int32)),
@@ -81,6 +112,12 @@ def main():
         cfg = build_cfg(refine_k, bbox_refine, **kw)
         model = build_model(cfg)
         batch = make_batch(B, H, W, S)
+        mixed = kw.get("mixed", False)
+        step_kw = dict(source_id=0) if mixed else {}
+        n_cls = cfg.DATASETS.MIXED_DATASETS.NUM_CLASSES[0] if mixed else 80
+        emb_b = emb[:n_cls]
+        if mixed:
+            batch["gt_classes"] = batch["gt_classes"] % n_cls
 
         sam_encode = None
         if bbox_refine:
@@ -115,6 +152,8 @@ def main():
 
         # init on tiny shapes
         init_batch = make_batch(1, 128, 128, 16, 4)
+        if mixed:
+            init_batch["gt_classes"] = init_batch["gt_classes"] % n_cls
         if bbox_refine:
             init_batch["sam_embed"] = batch["sam_embed"][:1]
             init_batch["sam_scale"] = batch["sam_scale"][:1]
@@ -122,18 +161,18 @@ def main():
             lambda: model.init(
                 {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                 init_batch, train=True, iteration=jnp.asarray(0, jnp.int32),
-                rng=jax.random.PRNGKey(2), embeddings=emb,
+                rng=jax.random.PRNGKey(2), embeddings=emb_b, **step_kw,
             )
         )()
         tx = build_optimizer(cfg, variables["params"])
         state = create_train_state(variables, tx, jax.random.PRNGKey(3))
-        step = make_train_step(model, tx)
+        step = make_train_step(model, tx, **step_kw)
 
-        state, metrics = step(state, batch, emb)  # compile + 1st step
+        state, metrics = step(state, batch, emb_b)  # compile + 1st step
         np.asarray(metrics["total_loss"])
         t0 = time.perf_counter()
         for _ in range(reps):
-            state, metrics = step(state, batch, emb)
+            state, metrics = step(state, batch, emb_b)
         np.asarray(metrics["total_loss"])
         dt_step = (time.perf_counter() - t0) / reps * 1000
 
@@ -166,6 +205,12 @@ def main():
     if only == "mrrp50":
         # strongest paper variant: MRRP-WSR-50 + ROILoopPool
         bench("MRRP-R50-DC5 K=1 (ROILoopPool)       ", 1, False, depth=50, mrrp=True)
+        return
+    if only == "mixed":
+        # mixed-datasets source-0 step (VOC of VOC+COCO), with the SAM
+        # pseudo-GT refinement share the shipped mixed configs enable
+        bench("Mixed-R18-DC5 K=1 (src 0, no refine) ", 1, False, mixed=True)
+        bench("Mixed-R18-DC5 K=1 + BBOX_REFINE vit_b", 1, True, mixed=True)
         return
     bench("R18-DC5 K=1 (shipped, no BBOX_REFINE)", 1, False)
     bench("R18-DC5 K=1 + BBOX_REFINE vit_b      ", 1, True)

@@ -1373,3 +1373,101 @@ def test_model_level_loop_split_train(monkeypatch):
             )
     finally:
         rpf._INTERPRET = False
+
+
+def test_fused_loop_pool_force_win48_exact():
+    """The win=48 loop force program (jc=8 candidate budget) is exact for
+    caller-guaranteed boxes (rw_o <= 41, rw_r <= 49) on an image wide
+    enough that 48 is a real window (w_dma=64), vs the jnp reference."""
+    rng = np.random.RandomState(41)
+    b, h, w, c, n = 2, 12, 61, 128, 16
+    feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    # scale 1.0: cells == px. outer = 1.8x centered: width*1.8 <= 40 cells
+    xy = np.stack(
+        [rng.uniform(0, w - 24, (b, n)), rng.uniform(0, h - 3, (b, n))], -1
+    )
+    wh = np.stack(
+        [rng.uniform(1, 21, (b, n)), rng.uniform(1, 9, (b, n))], -1
+    )
+    rois = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    rois = jnp.asarray(rois)
+    gate = jnp.asarray((rng.rand(b, n) > 0.2).astype(np.float32))
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=1.0, loop_pool=True,
+        win=48, force_narrow=True, interpret=True,
+    )
+    got = np.transpose(np.asarray(out), (0, 1, 4, 2, 3, 5))
+    want = _ref_loop(feat, rois, gate, 1.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_model_level_loop_3seg_hybrid(monkeypatch):
+    """The 3-segment ROILoopPool split (win48 head + win96 mid + wide
+    tail, default ON) reproduces the unsplit fused loop path bit-for-bit
+    through the DAN after unsorting, on an image wide enough that the
+    win48/win96 windows are real (w_dma=64) with a tier0/tier1/wide/gate-0
+    mix."""
+    from wsovod_tpu.models.box_head import DiscriminativeAdaptationNeck
+    from wsovod_tpu.models.poolers import ROIPooler, SegmentedChunks
+
+    monkeypatch.setattr(ROIPooler, "_on_tpu", staticmethod(lambda: True))
+    monkeypatch.setenv("WSOVOD_LOOP_SPLIT_MIN", "16")
+    rpf._INTERPRET = True
+    try:
+        rng = np.random.RandomState(43)
+        b, h, w, c, n = 1, 12, 61, 128, 48
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        # scale 1.0; widths spanning tier0 (<=20), tier1 (~30-45), wide (>89
+        # via rw_r: x-extent beyond the image)
+        xy = np.stack(
+            [rng.uniform(0, 40, (b, n)), rng.uniform(0, 9, (b, n))], -1
+        )
+        wd = np.where(
+            rng.rand(b, n) < 0.5,
+            rng.uniform(1, 20, (b, n)),
+            np.where(
+                rng.rand(b, n) < 0.7,
+                rng.uniform(28, 44, (b, n)),
+                rng.uniform(95, 150, (b, n)),
+            ),
+        )
+        ht = rng.uniform(1, 9, (b, n))
+        rois = np.concatenate(
+            [xy, xy + np.stack([wd, ht], -1)], -1
+        ).astype(np.float32)
+        rois = jnp.asarray(rois)
+        valid = jnp.asarray(rng.rand(b, n) > 0.15)
+        obj = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+        rois = jnp.where(valid[..., None], rois, 0.0)
+
+        pooler = ROIPooler(
+            7, scales=[1.0], pooler_type="ROILoopPool",
+            roi_align_kernel="fused",
+        )
+        dan = DiscriminativeAdaptationNeck(fc_dims=(8,))
+
+        monkeypatch.setenv("WSOVOD_LOOP_SPLIT", "0")
+        plain, un0 = pooler.fused_chunk_pool(
+            [feat], rois, obj, valid, train=False
+        )
+        assert un0 is None
+        lay = dict(chunk_layout=pooler.chunk_layout_used, pooled_hw=(7, 7))
+        params = dan.init(jax.random.PRNGKey(0), plain, train=False, **lay)
+        want = np.asarray(dan.apply(params, plain, train=False, **lay))
+
+        monkeypatch.setenv("WSOVOD_LOOP_SPLIT", "1")
+        chunks, unsort = pooler.fused_chunk_pool(
+            [feat], rois, obj, valid, train=False
+        )
+        assert isinstance(chunks, SegmentedChunks) and unsort is not None
+        assert len(chunks.segments) == 3
+        got = jnp.concatenate(
+            [dan.apply(params, s, train=False, **lay) for s in chunks.segments],
+            axis=-2,
+        )
+        got = np.asarray(
+            jnp.take_along_axis(got, unsort[None, ..., None], axis=-2)
+        )
+        np.testing.assert_array_equal(got, want)
+    finally:
+        rpf._INTERPRET = False

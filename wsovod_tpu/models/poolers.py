@@ -426,19 +426,40 @@ class ROIPooler:
             rw_r = cells(x1, x2)
             frac = float(os.environ.get("WSOVOD_LOOP_WIDE_FRAC", "0.25"))
             k_cap = min(n_rois - 8, max(8, int(round(frac * n_rois / 8)) * 8))
-            k_split = n_rois - k_cap
-            # distance-to-wide-threshold key (>0 iff wide): every ROI sorts
-            # by how close it is to the force program's limits, so on a
-            # narrow-heavy batch the tail's spare capacity fills with the
-            # WIDEST narrows (largest walks — closest to break-even on the
-            # full-row program) instead of arbitrary rows, and on overflow
-            # only the narrowest wides spill into the force segment.
-            # Invalid (gate-0) rows sort most-narrow: their zeroed boxes
-            # pool nothing either way.
+            # Tiered sort key (ascending; segments slice the sorted order):
+            # tier0 win48-able (rw_o <= 41 AND rw_r <= 49), tallest first
+            # so overflow spills the SHORTEST boxes into the win96 segment
+            # (cheap, still exact); tier1 win96-narrow by distance past the
+            # win48 limits, so tier0 underflow pulls in the closest-to-
+            # win48 boxes (smallest clipped-window error); tier2 gate-0 pad
+            # rows (zeroed boxes pool nothing — free tail filler); tier3
+            # wides by distance past the win96 limits (on tail overflow
+            # only the narrowest wides spill into the win96 segment). Cost
+            # model: a walk costs rows x window cells, so win48 halves the
+            # narrow walk bytes and spare tail capacity should hold the
+            # cheapest rows.
+            y1, y2 = boxes[..., 1], boxes[..., 3]
+            img_h = feat.shape[1] / s_sc
+            out_dh = (y2 - y1) * ((1.8 - 1.0) * 0.5)
+            rh_o = cells(
+                jnp.clip(y1 - out_dh, 0.0, img_h),
+                jnp.clip(y2 + out_dh, 0.0, img_h),
+            )
+            rh_r = cells(y1, y2)
+            wide_key = jnp.maximum(rw_o - (LOOP_WIN - 7), rw_r - 7 * 15)
+            key48 = jnp.maximum(rw_o - 41, rw_r - 49)
             sort_key = jnp.where(
-                gate > 0,
-                jnp.maximum(rw_o - (LOOP_WIN - 7), rw_r - 7 * 15),
-                jnp.int32(-(1 << 30)),
+                gate <= 0,
+                jnp.int32(1 << 10),
+                jnp.where(
+                    wide_key > 0,
+                    (1 << 11) + jnp.minimum(wide_key, 1 << 10),
+                    jnp.where(
+                        key48 > 0,
+                        jnp.minimum(key48, 1 << 9),
+                        -(1 << 12) - jnp.minimum(rh_o + rh_r, 1 << 11),
+                    ),
+                ),
             )
             order = jnp.argsort(sort_key, axis=1, stable=True).astype(
                 jnp.int32
@@ -452,10 +473,35 @@ class ROIPooler:
             # 2026-08-20 v5e — no narrow ROIs left to tax here, and the
             # tall dots set loses to the plain walk)
             wide_body = os.environ.get("WSOVOD_LOOP_SPLIT_WIDE", "vpu")
-            seg_kws = (
-                (slice(0, k_split), dict(win=LOOP_WIN, force_narrow=True)),
-                (slice(k_split, None), dict(win=1 << 20, loop_wide=wide_body)),
-            )
+            # 3-segment default: win48 head + win96 mid + wide tail
+            # (WSOVOD_LOOP_3SEG=0 restores the 2-segment win96+wide form)
+            if os.environ.get("WSOVOD_LOOP_3SEG", "1") == "1":
+                f_mid = float(os.environ.get("WSOVOD_LOOP_MID_FRAC", "0.30"))
+                k_mid = min(
+                    n_rois - k_cap - 8,
+                    max(8, int(round(f_mid * n_rois / 8)) * 8),
+                )
+                k1 = n_rois - k_mid - k_cap
+                seg_kws = (
+                    (slice(0, k1), dict(win=48, force_narrow=True)),
+                    (
+                        slice(k1, k1 + k_mid),
+                        dict(win=LOOP_WIN, force_narrow=True),
+                    ),
+                    (
+                        slice(k1 + k_mid, None),
+                        dict(win=1 << 20, loop_wide=wide_body),
+                    ),
+                )
+            else:
+                k_split = n_rois - k_cap
+                seg_kws = (
+                    (slice(0, k_split), dict(win=LOOP_WIN, force_narrow=True)),
+                    (
+                        slice(k_split, None),
+                        dict(win=1 << 20, loop_wide=wide_body),
+                    ),
+                )
             segs, unsorts, offs, off = [], [], [], 0
             for sl, kw_sl in seg_kws:
                 bx, gt = boxes_w[:, sl], gate_w[:, sl]
@@ -504,7 +550,7 @@ class ROIPooler:
                 # width-position -> final row (per-segment branch position
                 # plus the segment's start offset), then orig -> final
                 pos = jnp.concatenate(
-                    [unsorts[0], unsorts[1] + offs[1]], axis=1
+                    [un + o for un, o in zip(unsorts, offs)], axis=1
                 )
                 unsort_idx = jnp.take_along_axis(pos, u1, axis=1)
             else:

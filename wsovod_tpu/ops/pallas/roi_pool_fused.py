@@ -1513,13 +1513,15 @@ def _fused_pool_kernel(
                 compute_loop(jnp.int32(0), w_dma, jc_wide)
 
         if force_narrow and narrow_enabled:
-            # caller GUARANTEES rw_o <= win - 7 and rw_r <= 7*15 for every
-            # valid ROI (width-split loop segments): ONLY the narrow body
-            # is traced — the plain path measured the mere TRACING of an
-            # extra per-ROI body at up to ~2.8 us/visit
+            # caller GUARANTEES rw_o <= win - 7 and rw_r <= 7*(jc-1) for
+            # every valid ROI (width-split loop segments): ONLY the narrow
+            # body is traced — the plain path measured the mere TRACING of
+            # an extra per-ROI body at up to ~2.8 us/visit. win=48 halves
+            # the walk bytes AND the one-hot dot contraction (jc=8; bins
+            # <= ceil(41/7)+1 = 7).
             x0 = jnp.clip(rx1_o, 0, w_dma - win)
             x0 = pl.multiple_of((x0 // 8) * 8, 8)
-            compute_loop(x0, win)
+            compute_loop(x0, win, 8 if win <= 48 else 16)
         elif narrow_enabled:
             # rw_r is the UNCLIPPED ROI width: an ROI mostly outside the
             # image can have rw_r >> rw_o, overflowing the j_cap=16
@@ -1714,16 +1716,17 @@ def roi_pool_fused_batched(
         win = min(win, w_dma)  # full-row segment callers pass win >= w_dma
         if loop_pool:
             # loop accepts a win override only for the force-narrow
-            # single-body program (window-class table is fixed) or the
-            # wide-only single-body program (win >= w_dma: narrow_enabled
-            # goes False and every ROI takes the branch-free wide body —
-            # per-ROI pl.when bodies EXECUTE even when not taken on this
-            # Mosaic, so the two-body loop program pays the wide walk for
-            # every narrow ROI: 2570 ms vs 1318 force-narrow, measured
-            # 2026-08-20)
-            assert (force_narrow and win == LOOP_WIN) or win >= w_dma, (
-                win, force_narrow
-            )
+            # single-body programs (win=LOOP_WIN, or win=48 with the halved
+            # jc=8 candidate budget — the caller then guarantees rw_o <= 41
+            # AND rw_r <= 49) or the wide-only single-body program
+            # (win >= w_dma: narrow_enabled goes False and every ROI takes
+            # the branch-free wide body — per-ROI pl.when bodies EXECUTE
+            # even when not taken on this Mosaic, so the two-body loop
+            # program pays the wide walk for every narrow ROI: 2570 ms vs
+            # 1318 force-narrow, measured 2026-08-20)
+            assert (
+                force_narrow and win in (48, LOOP_WIN)
+            ) or win >= w_dma, (win, force_narrow)
     narrow_enabled = w_dma > win  # loop pool only; plain picks per-ROI class
     if pipe is None:
         pipe = os.environ.get("WSOVOD_POOL_PIPE") == "1"
