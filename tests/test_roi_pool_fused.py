@@ -1182,6 +1182,9 @@ def test_model_level_hpyr_wiring(monkeypatch):
             7, scales=[0.25], pooler_type="ROIPool", roi_align_kernel="fused"
         )
         dan = DiscriminativeAdaptationNeck(fc_dims=(16,))
+        # hpyr is DEFAULT ON (n >= 256): force it off for the unsplit
+        # reference pass, back on for the split pass under test
+        monkeypatch.setenv("WSOVOD_POOL_HPYR", "0")
         plain, _ = pooler.fused_chunk_pool([feat], rois, obj, valid, train=False)
         lay = dict(chunk_layout=pooler.chunk_layout_used, pooled_hw=(7, 7))
         params = dan.init(jax.random.PRNGKey(0), plain, train=False, **lay)
@@ -1471,3 +1474,72 @@ def test_model_level_loop_3seg_hybrid(monkeypatch):
         np.testing.assert_array_equal(got, want)
     finally:
         rpf._INTERPRET = False
+
+
+def test_fused_pool_feat_i8_exact_vs_quantized_reference(monkeypatch):
+    """WSOVOD_POOL_FEAT_I8=1 (int8 feature tiles on the bf16-payload paths,
+    incl. loop pool): the bf16 payload must EQUAL gate * s_img * the jnp
+    reference pool of the per-image-quantized features — the dequant scale
+    folds into the gate and max commutes with the positive scale."""
+    monkeypatch.setenv("WSOVOD_POOL_FEAT_I8", "1")
+    feat, rois, gate = _mk(43, w=40, n=32, wide_frac=0.4)
+    f32 = np.asarray(feat, np.float32)
+    s_img = np.maximum(np.abs(f32).max(axis=(1, 2, 3)) / 127.0, 1e-20)
+    qfeat = np.clip(
+        np.round(f32 / s_img[:, None, None, None]), -127, 127
+    ).astype(np.float32)
+    qj = jnp.asarray(qfeat)
+    g_eff = jnp.asarray(np.asarray(gate) * s_img[:, None])
+
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, interpret=True
+    )
+    got = np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2, 4))
+    np.testing.assert_allclose(
+        got, _ref_plain(qj, rois, g_eff, 0.25), rtol=1e-2, atol=1e-4
+    )
+
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, loop_pool=True, interpret=True
+    )
+    got = np.transpose(np.asarray(out, np.float32), (0, 1, 4, 2, 3, 5))
+    np.testing.assert_allclose(
+        got, _ref_loop(qj, rois, g_eff, 0.25), rtol=1e-2, atol=1e-4
+    )
+
+
+def test_fused_pool_feat_i8_branched_exact(monkeypatch):
+    """FEAT_I8 + MRRP branch routing: per-(branch, image) scales fold into
+    the gate via the src table."""
+    monkeypatch.setenv("WSOVOD_POOL_FEAT_I8", "1")
+    rng = np.random.RandomState(44)
+    b, n_br, h, w, c, n = 2, 2, 12, 16, 128, 16
+    feat = jnp.asarray(rng.randn(n_br * b, h, w, c).astype(np.float32))
+    xy = rng.uniform(0, 30, (b, n, 2))
+    wh = rng.uniform(2, 30, (b, n, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(0.5, 2.0, (b, n)).astype(np.float32))
+    # branch-pure 8-ROI blocks: first block branch 0, second branch 1
+    branch = np.zeros((b, n), np.int32)
+    branch[:, 8:] = 1
+    src = rpf._branch_src_tbl(jnp.asarray(branch), b, 8)
+
+    f32 = np.asarray(feat, np.float32)
+    s_src = np.maximum(np.abs(f32).max(axis=(1, 2, 3)) / 127.0, 1e-20)
+    qfeat = np.clip(
+        np.round(f32 / s_src[:, None, None, None]), -127, 127
+    ).astype(np.float32)
+
+    out = rpf.roi_pool_fused_batched(
+        feat, rois, gate, spatial_scale=0.25, src_tbl=src, interpret=True
+    )
+    got = np.transpose(np.asarray(out, np.float32), (0, 3, 1, 2, 4))
+    want = np.zeros_like(got)
+    for bi in range(b):
+        for ri in range(n):
+            si = branch[bi, ri] * b + bi
+            ref = np.asarray(
+                roi_pool(jnp.asarray(qfeat[si]), rois[bi, ri : ri + 1], 7, 0.25)
+            )[0]
+            want[bi, ri] = ref * float(gate[bi, ri]) * s_src[si]
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-4)

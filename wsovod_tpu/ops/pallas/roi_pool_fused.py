@@ -248,10 +248,21 @@ def _build_h4(full_buf, l2_buf, h):
     every ROI of the (image, c-tile) sweep. Two in-place passes: 2-row
     maxes, then a +2 fold (ascending h reads pre-pass-2 values — correct).
     Cost: ~3 tile passes once per resident-tile refresh, amortized over
-    the ~5k ROIs that read it."""
+    the ~5k ROIs that read it.
+
+    int8 tiles (tile8): Mosaic has no int8 vector max, so the build maxes
+    in bf16 and re-narrows — exact for int8-range integers (bf16 holds
+    +-127 exactly), and amortized like the rest of the build."""
+    if full_buf.dtype == jnp.int8:
+        def mx(a, b):
+            return jnp.maximum(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+            ).astype(jnp.int8)
+    else:
+        mx = jnp.maximum
 
     def p1(i, _):
-        l2_buf[0, i] = jnp.maximum(
+        l2_buf[0, i] = mx(
             full_buf[0, i], full_buf[0, jnp.minimum(i + 1, h - 1)]
         )
         return 0
@@ -259,7 +270,7 @@ def _build_h4(full_buf, l2_buf, h):
     jax.lax.fori_loop(0, h, p1, 0, unroll=False)
 
     def p2(i, _):
-        l2_buf[0, i] = jnp.maximum(
+        l2_buf[0, i] = mx(
             l2_buf[0, i], l2_buf[0, jnp.minimum(i + 2, h - 1)]
         )
         return 0
@@ -275,14 +286,18 @@ def _fold_rows_carry_h4(full_buf, l2_buf, band, hlo, hhi, x0, win, p,
     shorter bins walk their <= 3 raw rows. The walk is VMEM-bandwidth-bound
     (~26 ns per [48, 512] row, ~87 ns at [136, 512] — measured 2026-08-20),
     so tall wide-path bins cut their stage-A bytes ~3.5x. Branchless: the
-    two fori trip counts select the path (0-trip loops are free)."""
-    neg = _neg_for(full_buf.dtype)
+    two fori trip counts select the path (0-trip loops are free).
+
+    When ``full_buf`` is int8 (tile8 feature tiles) the rows widen to the
+    band dtype on load: the walk moves HALF the VMEM bytes (the load port
+    is the bound) and the max still runs on the proven bf16 path."""
+    neg = _neg_for(band.dtype)
+    widen = full_buf.dtype != band.dtype
     full_row = win == full_buf.shape[2]
 
     def load(buf, hh):
-        if full_row:
-            return buf[0, hh]
-        return buf[0, hh, pl.ds(x0, win)]
+        r = buf[0, hh] if full_row else buf[0, hh, pl.ds(x0, win)]
+        return r.astype(band.dtype) if widen else r
 
     for ph in range(p):
         n = hhi[ph] - hlo[ph]
@@ -296,7 +311,7 @@ def _fold_rows_carry_h4(full_buf, l2_buf, band, hlo, hhi, x0, win, p,
             hh = jnp.minimum(hlo[ph] + 4 * t, jnp.maximum(hhi[ph] - 4, 0))
             return jnp.maximum(acc, load(l2_buf, hh))
 
-        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        init = jnp.full((win, c_tile), neg, band.dtype)
         acc = jax.lax.fori_loop(0, t0, body0, init, unroll=False)
         acc = jax.lax.fori_loop(0, t2, body2, acc, unroll=False)
         band[ph, :win] = acc
@@ -309,13 +324,13 @@ def _fold_rows_carry_sl2(full_buf, band, hlo, hhi, x0, win, p, c_tile):
     tall walks of the wide path. Odd row counts fold the last row under a
     single ``pl.when`` epilogue. Bit-exact vs the 1-row fold (max is
     associative/commutative)."""
-    neg = _neg_for(full_buf.dtype)
+    neg = _neg_for(band.dtype)
+    widen = full_buf.dtype != band.dtype
     full_row = win == full_buf.shape[2]
 
     def load(h):
-        if full_row:
-            return full_buf[0, h]
-        return full_buf[0, h, pl.ds(x0, win)]
+        r = full_buf[0, h] if full_row else full_buf[0, h, pl.ds(x0, win)]
+        return r.astype(band.dtype) if widen else r
 
     for ph in range(p):
         n_rows = hhi[ph] - hlo[ph]
@@ -324,7 +339,7 @@ def _fold_rows_carry_sl2(full_buf, band, hlo, hhi, x0, win, p, c_tile):
             h = hlo[ph] + 2 * t
             return jnp.maximum(acc, jnp.maximum(load(h), load(h + 1)))
 
-        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        init = jnp.full((win, c_tile), neg, band.dtype)
         acc = jax.lax.fori_loop(0, n_rows // 2, body, init, unroll=False)
         band[ph, :win] = acc
 
@@ -349,18 +364,18 @@ def _fold_rows_carry(full_buf, band, hlo, hhi, x0, win, p, c_tile,
     ``h < hhi``). Correct only when every bin has <= n_unroll rows, i.e.
     rh <= (n_unroll - 1) * p; callers with value-thresholded height splits
     use it to eliminate the per-bin dynamic-loop overhead entirely."""
-    neg = _neg_for(full_buf.dtype)
+    neg = _neg_for(band.dtype)
+    widen = full_buf.dtype != band.dtype
     h_cap = full_buf.shape[1] - 1
     full_row = win == full_buf.shape[2]
 
     def load(h):
         # full-row bands skip the dynamic-sublane-offset slice entirely
-        if full_row:
-            return full_buf[0, h]
-        return full_buf[0, h, pl.ds(x0, win)]
+        r = full_buf[0, h] if full_row else full_buf[0, h, pl.ds(x0, win)]
+        return r.astype(band.dtype) if widen else r
 
     for ph in range(p):
-        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        init = jnp.full((win, c_tile), neg, band.dtype)
         if n_unroll is not None:
             acc = init
             for r in range(n_unroll):
@@ -396,17 +411,17 @@ def _fold_rows_interleaved(full_buf, band, hlo, hhi, x0, win, p, c_tile,
     the entire interleaving win), CLAMP the row index to ``hhi - 1`` and
     re-max (idempotent); bins that are empty altogether are reset to NEG
     by a per-bin epilogue."""
-    neg = _neg_for(full_buf.dtype)
-    band[:, :win] = jnp.full((p, win, c_tile), neg, full_buf.dtype)
+    neg = _neg_for(band.dtype)
+    widen = full_buf.dtype != band.dtype
+    band[:, :win] = jnp.full((p, win, c_tile), neg, band.dtype)
     max_h = hhi[0] - hlo[0]
     for ph in range(1, p):
         max_h = jnp.maximum(max_h, hhi[ph] - hlo[ph])
     full_row = win == full_buf.shape[2]
 
     def load(h):
-        if full_row:
-            return full_buf[0, h]
-        return full_buf[0, h, pl.ds(x0, win)]
+        r = full_buf[0, h] if full_row else full_buf[0, h, pl.ds(x0, win)]
+        return r.astype(band.dtype) if widen else r
 
     if branchless:
         def body(t, _):
@@ -419,7 +434,7 @@ def _fold_rows_interleaved(full_buf, band, hlo, hhi, x0, win, p, c_tile,
         for ph in range(p):
             @pl.when(hhi[ph] <= hlo[ph])
             def _(ph=ph):
-                band[ph, :win] = jnp.full((win, c_tile), neg, full_buf.dtype)
+                band[ph, :win] = jnp.full((win, c_tile), neg, band.dtype)
         return
 
     def body(t, _):
@@ -443,10 +458,13 @@ def _fold_rows_carry_pair(
     read-modify-write) and the conditional band folded in place under
     ``row_cond`` sharing the same row load. ``band_b`` must be
     NEG-initialised by the caller; ``band_a`` is written once per bin."""
-    neg = _neg_for(full_buf.dtype)
+    neg = _neg_for(band_a.dtype)
+    widen = full_buf.dtype != band_a.dtype
     for ph in range(p):
         def body(h, acc, ph=ph):
             row = full_buf[0, h, pl.ds(x0, win)]
+            if widen:
+                row = row.astype(band_a.dtype)
 
             @pl.when(row_cond(h))
             def _():
@@ -454,7 +472,7 @@ def _fold_rows_carry_pair(
 
             return jnp.maximum(acc, row)
 
-        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        init = jnp.full((win, c_tile), neg, band_a.dtype)
         band_a[ph, :win] = jax.lax.fori_loop(
             hlo[ph], hhi[ph], body, init, unroll=False
         )
@@ -470,12 +488,15 @@ def _fold_rows(full_buf, band, band2, hlo, hhi, x0, wd, win, p, row_cond=None):
     (4-row slab folds and per-ROI window-class branches were both measured
     SLOWER on v5e — Mosaic pipelines the simple row walk better than either;
     see scripts/bench_maxpool_kernel.py history.)"""
+    widen = full_buf.dtype != band.dtype
     for ph in range(p):
         def body(h, _, ph=ph):
             if win is None:
                 row = full_buf[0, h]
             else:
                 row = full_buf[0, h, pl.ds(x0, win)]
+            if widen:
+                row = row.astype(band.dtype)
             band[ph, :wd] = jnp.maximum(band[ph, :wd], row)
             if band2 is not None:
                 @pl.when(row_cond(h))
@@ -741,12 +762,14 @@ def _fold_rows_carry_w(full_buf, wband, hlo, hhi, x0, win, p, c_tile):
     SUBLANE axis, making every bin store a 1-of-8 masked-sublane write,
     which measured 481 ms vs 175 for the whole sweep). The pad block ph=7
     is never written — the epilogue zeroes its lanes."""
-    neg = _neg_for(full_buf.dtype)
+    neg = _neg_for(wband.dtype)
+    widen = full_buf.dtype != wband.dtype
     for ph in range(p):
         def body(h, acc):
-            return jnp.maximum(acc, full_buf[0, h, pl.ds(x0, win)])
+            row = full_buf[0, h, pl.ds(x0, win)]
+            return jnp.maximum(acc, row.astype(wband.dtype) if widen else row)
 
-        init = jnp.full((win, c_tile), neg, full_buf.dtype)
+        init = jnp.full((win, c_tile), neg, wband.dtype)
         wband[:, ph * c_tile:(ph + 1) * c_tile] = jax.lax.fori_loop(
             hlo[ph], hhi[ph], body, init, unroll=False
         )
@@ -1024,7 +1047,17 @@ def _fused_pool_kernel(
         if hpyr:
             _build_h4(full_buf, l2_buf, full_buf.shape[1])
 
-    neg = _neg_for(full_buf.dtype)
+    # bands hold the (possibly widened) walk values: int8 feature tiles
+    # (tile8) walk half the VMEM bytes and widen to bf16 bands on load
+    band_dt = band_a2.dtype
+    neg = _neg_for(band_dt)
+    # tile8 payloads are int8-range with -128/NEG empty fills, so -127.5
+    # separates empties exactly; float walks use the NEG sentinel
+    empty_thr = (
+        -127.5
+        if jnp.int8 in (full_buf.dtype, band_dt)
+        else NEG / 2
+    )
 
     if not loop_pool:
         def plain_body(i, w_sl, j_cap):
@@ -1053,7 +1086,7 @@ def _fused_pool_kernel(
                 )
                 pooled_w = _onehot_gather_max_w(
                     wband_buf, w_sl, x0, rx1, rw, w_lim, p, j_cap, c_tile,
-                    full_buf.dtype,
+                    band_dt,
                 )  # [p(pw), 8*CT]
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (p, 8 * c_tile), 1
@@ -1098,7 +1131,7 @@ def _fused_pool_kernel(
                 elif ablate == "nojg":
                     vals, _, _ = _onehot_candidates(
                         band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
-                        full_buf.dtype,
+                        band_dt,
                     )
                     pooled = jnp.stack(
                         [v[:p].astype(jnp.float32) for v in vals]
@@ -1106,14 +1139,14 @@ def _fused_pool_kernel(
                 elif stage_b == "bd":
                     pooled = _onehot_gather_max_bd(
                         band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
-                        full_buf.dtype,
+                        band_dt,
                     )
                 else:
                     # narrow ROI (bin width <= (w_sl-7)//p + 1 <= j_cap):
                     # MXU path
                     pooled = _onehot_gather_max(
                         band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
-                        full_buf.dtype,
+                        band_dt,
                     )
             elif j_cap is not None:
                 # full-row MXU path: wide-but-clipped ROIs (rw <= 7*(j_cap
@@ -1143,7 +1176,7 @@ def _fused_pool_kernel(
                     )
                 pooled = _onehot_gather_max(
                     band_a, wd, x0, rx1, rw, w_lim, p, j_cap, c_tile,
-                    full_buf.dtype,
+                    band_dt,
                 )
             elif stage_b_wide == "pyr":
                 # wide full-row pyramid stage B (see _onehot_gather_max_pyr)
@@ -1171,11 +1204,11 @@ def _fused_pool_kernel(
                 else:
                     pooled = _onehot_gather_max_pyr(
                         band_a, wd, rx1, rw, w_lim, p, c_tile,
-                        full_buf.dtype, l_max, ablate=ablate,
+                        band_dt, l_max, ablate=ablate,
                     )
             else:
                 x0 = jnp.int32(0)
-                band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
+                band_a[:, :wd] = jnp.full((p, wd, c_tile), neg, band_dt)
                 _fold_rows(
                     full_buf, band_a, None, hlo, hhi, x0, wd, w_sl, p
                 )
@@ -1187,8 +1220,7 @@ def _fused_pool_kernel(
             # empty bins -> 0 (torchvision convention). tile8 payloads are
             # int8-range with -128/-2^30 empty fills, so -127.5 separates
             # exactly; float walks use the NEG sentinel.
-            thr = -127.5 if full_buf.dtype == jnp.int8 else NEG / 2
-            pooled = jnp.where(pooled <= thr, 0.0, pooled)
+            pooled = jnp.where(pooled <= empty_thr, 0.0, pooled)
             if ablate == "cheapstore":
                 # measurement: full compute, [1, 1, CT] store (WRONG results)
                 out_ref[0, 0, 0, i] = (
@@ -1274,10 +1306,9 @@ def _fused_pool_kernel(
                     band_a = band_a2.at[i % 2]
                     pooled = _onehot_gather_max(
                         band_a, win, x0, rx1, rw, w_lim, p, j_cap_win,
-                        c_tile, full_buf.dtype,
+                        c_tile, band_dt,
                     )
-                    thr = -127.5 if full_buf.dtype == jnp.int8 else NEG / 2
-                    pooled = jnp.where(pooled <= thr, 0.0, pooled)
+                    pooled = jnp.where(pooled <= empty_thr, 0.0, pooled)
                     _write_out(
                         out_ref, scale_ref, [pooled], gate, i,
                         rbi * roi_block + i, quant, nmajor, n56c,
@@ -1367,8 +1398,8 @@ def _fused_pool_kernel(
             # jc: one-hot candidate budget per bin (narrow win96 default:
             # bin width <= ceil(89/7)+1 = 14 -> 16)
             wd = w_sl or w_dma
-            init = jnp.full((p, wd, c_tile), neg, full_buf.dtype)
-            dt = full_buf.dtype
+            init = jnp.full((p, wd, c_tile), neg, band_dt)
+            dt = band_dt
 
             # walk 1: ROI rows -> band_a (all), band_b (outside inner)
             cond1 = lambda h: jnp.logical_or(h <= iya, h >= iyb)
@@ -1661,20 +1692,57 @@ def roi_pool_fused_batched(
         s = jnp.max(jnp.abs(f32), axis=(1, 2, 3)) / 127.0  # [B]
         s = jnp.maximum(s, 1e-20)
         q = jnp.clip(jnp.round(f32 / s[:, None, None, None]), -127, 127)
-        # int8-VALUED bf16 carrier by default: Mosaic cannot legalize max
-        # over int8 vectors ('Reductions over int8 not implemented'), which
-        # blocked the true-int8 walk — but bf16 holds +-127 ints EXACTLY, so
-        # the walk runs on the proven bf16 path and only the STORE casts to
-        # int8 (halving the payload HBM write, the largest pool floor term)
-        # while the downstream fc1 still gets the int8 payload directly (no
-        # separate quantize pass). WSOVOD_TILE8_I8=1 re-enables the true
-        # int8 walk for future toolchains.
+        # int8 TILES with widen-on-load bands (the round-5 hybrid): Mosaic
+        # cannot legalize max over int8 vectors ('Reductions over int8 not
+        # implemented'), but it DOES legalize int8 loads + an i8->bf16
+        # widen (measured 2026-08-20, scripts/bench_i8walk.py), so the
+        # resident tile stays int8 — HALF the DMA and stage-A VMEM walk
+        # bytes (the walk is load-port-bound: ~1.9 TB/s) — and each loaded
+        # row widens into the proven bf16 band/max path. bf16 holds +-127
+        # ints exactly, so the pooled payload is still the exact quantized
+        # max, and the STORE casts back to int8 (halving the payload HBM
+        # write). WSOVOD_TILE8_I8=0 restores the int8-VALUED bf16 carrier
+        # (full-size tiles, no widen) for A/Bs.
         walk_dt = (
-            jnp.int8 if os.environ.get("WSOVOD_TILE8_I8") == "1"
-            else jnp.bfloat16
+            jnp.bfloat16 if os.environ.get("WSOVOD_TILE8_I8") == "0"
+            else jnp.int8
         )
         feat = q.astype(walk_dt)
         gate = gate * s[:, None]  # scale folds into the emitted per-ROI scale
+        c_base, c = 0, c_take
+
+    payload_dt = feat.dtype
+    if (
+        quant in (None, "none")
+        and jnp.dtype(feat.dtype) != jnp.int8
+        and os.environ.get("WSOVOD_POOL_FEAT_I8") == "1"
+    ):
+        # FEAT_I8 (A/B, WSOVOD_POOL_FEAT_I8=1): int8 feature tiles for the
+        # BF16-payload paths — including loop pool and MRRP branch routing,
+        # which tile8 does not cover. The chunk quantizes per feature-row-0
+        # entry (per image; per (branch, image) for the MRRP branch-major
+        # concat), the kernel walks int8 tiles (half the load-port bytes,
+        # see the tile8 comment above) widened into bf16 bands, and the
+        # positive per-ROI dequant scale folds into the GATE (the epilogue
+        # multiplies payload by gate, and max commutes with a positive
+        # scale), so the emitted bf16 payload equals the per-source
+        # int8-quantized true pooled values — the same precision contract
+        # as tile8, guarded by tests/test_golden_eval_int8.py. Training is
+        # safe: the AD wrappers' backward uses the jnp reference pool +
+        # the analytic gate formula, not the kernel internals.
+        fs = jax.lax.dynamic_slice_in_dim(feat, c_base, c_take, axis=-1)
+        f32 = fs.astype(jnp.float32)
+        s = jnp.max(jnp.abs(f32), axis=(1, 2, 3)) / 127.0  # [B or n_br*B]
+        s = jnp.maximum(s, 1e-20)
+        feat = jnp.clip(
+            jnp.round(f32 / s[:, None, None, None]), -127, 127
+        ).astype(jnp.int8)
+        if src_tbl is not None:
+            # per-ROI source scale: blocks are branch-pure, src = br*B + b
+            s_roi = jnp.repeat(s[src_tbl], roi_block, axis=1)[:, : gate.shape[1]]
+        else:
+            s_roi = s[:, None]
+        gate = gate * s_roi
         c_base, c = 0, c_take
 
     n_pad_est = n + (-n) % roi_block
@@ -1790,7 +1858,7 @@ def roi_pool_fused_batched(
         cls_flat = None
 
     tri = (3,) if loop_pool else ()
-    out_dtype = jnp.int8 if quant in ("int8", "tile8") else feat.dtype
+    out_dtype = jnp.int8 if quant in ("int8", "tile8") else payload_dt
     nd = len(tri)
     nmajor = out_layout == "nhwc"
     n56c = out_layout == "n56c"
@@ -1872,21 +1940,26 @@ def roi_pool_fused_batched(
     # its leading [:, :win] slice. Leading 2 = per-ROI double buffering (see
     # the kernel's band_a2 comment).
     w_band = w_dma
+    # int8 feature tiles (tile8 hybrid) widen into bf16 BANDS on load:
+    # the tile keeps the halved bytes, the bands keep the legal max path
+    band_dt = (
+        jnp.bfloat16 if jnp.dtype(feat.dtype) == jnp.int8 else feat.dtype
+    )
     scratch = [
         pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype),
         pltpu.VMEM((1, h, w_dma, c_tile), feat.dtype) if hpyr else None,
         pltpu.VMEM(
             (2, p, w_band, 2 * c_tile if loop_merged else c_tile),
-            feat.dtype,
+            band_dt,
         ),
     ]
     scratch.append(
-        pltpu.VMEM((2, p, w_band, c_tile), feat.dtype)
+        pltpu.VMEM((2, p, w_band, c_tile), band_dt)
         if (loop_pool and not loop_merged)
         else None
     )
     scratch.append(
-        pltpu.VMEM((win, 8 * c_tile), feat.dtype) if w8hc else None
+        pltpu.VMEM((win, 8 * c_tile), band_dt) if w8hc else None
     )
     scratch = [s for s in scratch if s is not None]
     scratch.append(pltpu.SemaphoreType.DMA)
